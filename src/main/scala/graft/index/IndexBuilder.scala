@@ -1,0 +1,212 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.score.{BM25, BM25Params}
+import graft.store.{IcebergLikeStore, PartitionCommit}
+import graft.tokenize.Tokenizer
+
+/** One compressed posting block: up to Codec.BlockSize (docId, impact)
+  * pairs, docIds delta+varbyte encoded, impacts packed float32, with the
+  * block-max metadata WAND pruning reads (PISA block_max semantics,
+  * benchmark/on_pisa.py:51).
+  */
+final case class PostingBlock(
+    first: Long, last: Long, max: Float, n: Int,
+    ids: Array[Byte], imps: Array[Byte])
+
+/** Distributed inverted-index build (the Spark-native re-expression of the
+  * reference's index stage: bm25s eager impact indexing at
+  * benchmark/on_bm25s.py:124-129, Lucene/PISA on-disk index builds at
+  * benchmark/on_pyserini.py:243-269 / benchmark/on_pisa.py:47-49).
+  *
+  * Layout under `indexDir` (an IcebergLikeStore-managed table):
+  *
+  *   docmap/   (docId STRING, docIntId LONG, salt INT)
+  *   segments/ g=<group>/ (docIntId, len, term, tf)      [resumable stage]
+  *   docs/     (docIntId LONG, docId STRING, len LONG, salt INT)
+  *   postings/ bucket=<b>/ (term, salt, df, count, maxImpact, blocks)
+  *   _commits/ *.json  per-partition-group lineage + metrics
+  *   _properties.json  scoring params + global stats (N, avgdl, numTokens)
+  *
+  * Scale design (SURVEY.md §4, §7):
+  *  - docIntId: surrogate ids assigned by a cheap column-pruned job (range
+  *    partition by docId + per-partition offsets), so posting lists
+  *    delta-encode and WAND walks ids in ascending order. salt = high bits
+  *    of docIntId ⇒ contiguous doc ranges; every (term, salt) posting group
+  *    is bounded (≤ 2^SaltShift docs), which is the explicit skew salting
+  *    the north rule demands — a term occurring in 50% of all docs still
+  *    never forms one giant shuffle group.
+  *  - segments stage is committed per corpus group: a killed build re-runs
+  *    only uncommitted groups (tokenization — the expensive part — never
+  *    repeats for committed groups). In a production Iceberg deployment the
+  *    groups key off manifest file splits; here they key off hash(docId).
+  *  - merge stage shuffles only narrow (term, docIntId, tf, len) rows,
+  *    computes exact global df with one window over term, and eagerly
+  *    materializes per-posting BM25 impacts (bm25s's core idea) into
+  *    delta+varbyte blocks with block-max metadata.
+  */
+object IndexBuilder {
+
+  /** docs-per-salt group = 2^SaltShift (within one docmap partition). */
+  val SaltShift = 20
+
+  final case class Config(
+      params: BM25Params = BM25Params(),
+      tokenPattern: String = Tokenizer.TokenPattern,
+      numSegmentGroups: Int = 4,
+      numBuckets: Int = 16,
+      docmapPartitions: Int = 0) // 0 = spark default parallelism
+
+  def saltOf(docIntId: Column): Column =
+    shiftrightunsigned(docIntId, SaltShift).cast(IntegerType)
+
+  def bucketOf(term: Column, numBuckets: Int): Column =
+    pmod(xxhash64(term), lit(numBuckets.toLong)).cast(IntegerType)
+
+  /** Build (or resume) the index for a corpus of (docId STRING, content
+    * STRING) rows. Returns the store handle.
+    */
+  def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
+            cfg: Config = Config()): IcebergLikeStore = {
+    val store = new IcebergLikeStore(indexDir)
+    if (store.isComplete) return store
+    val t0 = System.nanoTime()
+
+    val P = if (cfg.docmapPartitions > 0) cfg.docmapPartitions
+            else spark.sparkContext.defaultParallelism
+
+    // ---- stage 0: docmap — deterministic surrogate ids in docId order.
+    // Column-pruned scan (only docId); one range shuffle of narrow rows.
+    val docmapPath = s"$indexDir/docmap"
+    if (!store.committedGroups().contains("docmap")) {
+      val s = System.nanoTime()
+      corpus.select(col("docId"))
+        .repartitionByRange(P, col("docId"))
+        .sortWithinPartitions("docId")
+        .withColumn("docIntId", monotonically_increasing_id())
+        .withColumn("salt", saltOf(col("docIntId")))
+        .write.mode("overwrite").parquet(docmapPath)
+      val n = spark.read.parquet(docmapPath).count()
+      store.commit(PartitionCommit("docmap", Seq("docmap"), n,
+        Map("stage" -> "docmap"), (System.nanoTime() - s) / 1e9))
+    }
+    val docmap = spark.read.parquet(docmapPath)
+
+    // ---- stage 1: segments — tokenize + per-doc term frequencies,
+    // committed per corpus group (resume skips committed groups).
+    val segBase = s"$indexDir/segments"
+    for (g <- 0 until cfg.numSegmentGroups
+         if !store.committedGroups().contains(s"seg-$g")) {
+      val s = System.nanoTime()
+      val part = corpus.where(
+        pmod(xxhash64(col("docId")), lit(cfg.numSegmentGroups.toLong)) === g)
+      val toks = part.join(docmap, "docId")
+        .select(col("docIntId"),
+          Tokenizer.tokens(col("content"), cfg.tokenPattern).as("toks"))
+      toks
+        .select(col("docIntId"), size(col("toks")).cast(LongType).as("len"),
+          explode(col("toks")).as("term"))
+        .groupBy("docIntId", "len", "term").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(s"$segBase/g=$g")
+      val rows = spark.read.parquet(s"$segBase/g=$g").count()
+      store.commit(PartitionCommit(s"seg-$g", Seq(s"segments/g=$g"), rows,
+        Map("stage" -> "segments", "group" -> g.toString),
+        (System.nanoTime() - s) / 1e9))
+    }
+
+    val segments = spark.read.parquet(segBase)
+      .select("docIntId", "len", "term", "tf") // drop partition col g
+
+    // ---- stage 2: docs table (docId, len) + global stats.
+    if (!store.committedGroups().contains("docs")) {
+      val s = System.nanoTime()
+      val lens = segments.groupBy("docIntId").agg(sum("tf").as("len"))
+      docmap.join(lens, Seq("docIntId"), "left")
+        .select(col("docIntId"), col("docId"),
+          coalesce(col("len"), lit(0L)).as("len"), col("salt"))
+        .write.mode("overwrite").parquet(s"$indexDir/docs")
+      val n = spark.read.parquet(s"$indexDir/docs").count()
+      store.commit(PartitionCommit("docs", Seq("docs"), n,
+        Map("stage" -> "docs"), (System.nanoTime() - s) / 1e9))
+    }
+    val docs = spark.read.parquet(s"$indexDir/docs")
+    val statsRow = docs.agg(count(lit(1)), avg(col("len")), sum(col("len"))).head()
+    val numDocs = statsRow.getLong(0)
+    val avgdl = if (numDocs == 0 || statsRow.isNullAt(1)) 0.0 else statsRow.getDouble(1)
+    val numTokens = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
+
+    // ---- stage 3: postings — group by (term, salt), global df via one
+    // window over term, eager impacts, delta+varbyte blocks.
+    val p = cfg.params
+    val encodeBlocks = udf(
+      (ids0: Seq[Long], tfs0: Seq[Long], lens0: Seq[Long], df: Long) => {
+        // the three collect_lists share row order within the group; sort
+        // jointly by docIntId for delta encoding
+        val order = ids0.indices.sortBy(ids0)
+        val ids = order.map(ids0).toArray
+        val imps = new Array[Float](ids.length)
+        var i = 0
+        while (i < imps.length) {
+          val j = order(i)
+          imps(i) = BM25.Scalar
+            .impact(p, tfs0(j).toDouble, df, lens0(j), numDocs, avgdl).toFloat
+          i += 1
+        }
+        val nBlocks = (ids.length + Codec.BlockSize - 1) / Codec.BlockSize
+        (0 until nBlocks).map { b =>
+          val from = b * Codec.BlockSize
+          val until = math.min(from + Codec.BlockSize, ids.length)
+          val bIds = java.util.Arrays.copyOfRange(ids, from, until)
+          val bImps = java.util.Arrays.copyOfRange(imps, from, until)
+          PostingBlock(bIds.head, bIds.last, bImps.max, bIds.length,
+            Codec.encodeDeltaVarByte(bIds), Codec.encodeFloats(bImps))
+        }
+      })
+
+    if (!store.committedGroups().contains("postings")) {
+      val s = System.nanoTime()
+      val grouped = segments
+        .withColumn("salt", saltOf(col("docIntId")))
+        .groupBy("term", "salt")
+        .agg(
+          collect_list(col("docIntId")).as("pids"),
+          collect_list(col("tf")).as("ptfs"),
+          collect_list(col("len")).as("plens"),
+          count(lit(1)).as("partialDf"))
+      val withDf = grouped.withColumn("df",
+        sum("partialDf").over(Window.partitionBy("term")))
+      withDf
+        .withColumn("blocks",
+          encodeBlocks(col("pids"), col("ptfs"), col("plens"), col("df")))
+        .withColumn("bucket", bucketOf(col("term"), cfg.numBuckets))
+        .select(col("term"), col("salt"), col("df"),
+          col("partialDf").cast(IntegerType).as("count"),
+          aggregate(col("blocks"), lit(Float.MinValue),
+            (acc, b) => greatest(acc, b.getField("max"))).as("maxImpact"),
+          col("blocks"), col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket").parquet(s"$indexDir/postings")
+      val rows = spark.read.parquet(s"$indexDir/postings").count()
+      store.commit(PartitionCommit("postings", Seq("postings"), rows,
+        Map("stage" -> "postings", "buckets" -> cfg.numBuckets.toString),
+        (System.nanoTime() - s) / 1e9))
+    }
+
+    store.writeProperties(Map(
+      "engine" -> "graft-bm25",
+      "method" -> p.method, "k1" -> p.k1.toString, "b" -> p.b.toString,
+      "delta" -> p.delta.toString,
+      "tokenPattern" -> cfg.tokenPattern,
+      "stemmer" -> "snowball-en", "stopwords" -> "en-33",
+      "numDocs" -> numDocs.toString, "avgdl" -> avgdl.toString,
+      "numTokens" -> numTokens.toString,
+      "numBuckets" -> cfg.numBuckets.toString,
+      "saltShift" -> SaltShift.toString,
+      "buildElapsedSec" -> ((System.nanoTime() - t0) / 1e9).toString))
+    store
+  }
+}

@@ -1,0 +1,281 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{Codec, IndexBuilder}
+import graft.index.expr.CodecExprs
+import graft.score.BM25Params
+import graft.store.IcebergLikeStore
+import graft.tokenize.Tokenizer
+
+/** Handle over a built index (tables + scoring metadata from the commit
+  * log, so query-side params can't drift from the build — the lesson of the
+  * reference's Elasticsearch settings dance, benchmark/on_elastic.py:72-112).
+  */
+class BM25Index(val spark: SparkSession, val indexDir: String) {
+  val store = new IcebergLikeStore(indexDir)
+  require(store.isComplete, s"index at $indexDir has no _properties.json (incomplete build)")
+  val props: Map[String, String] = store.readProperties()
+  val params: BM25Params = BM25Params(
+    k1 = props("k1").toDouble, b = props("b").toDouble,
+    delta = props("delta").toDouble, method = props("method"))
+  val tokenPattern: String = props("tokenPattern")
+  val numDocs: Long = props("numDocs").toLong
+  val avgdl: Double = props("avgdl").toDouble
+  val numBuckets: Int = props("numBuckets").toInt
+
+  def postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
+  def docs: DataFrame = spark.read.parquet(s"$indexDir/docs")
+}
+
+/** Batch top-k retrieval over a BM25Index. Two physical paths, cross-checked
+  * in tests exactly like the reference cross-asserts its numpy/numba/jax
+  * backends with np.allclose (benchmark/on_bm25s.py:163-211):
+  *
+  *  - `searchExact`: declarative Catalyst plan — query terms broadcast-join
+  *    postings (with bucket partition pruning + term predicate pushdown),
+  *    block decode via native codegen expressions, hash-agg score sum,
+  *    bounded-heap grouped top-k. The Spark-native analogue of the
+  *    reference's dense score-all + argpartition (Q1+Q2, SURVEY.md §2.5) —
+  *    sparse by construction: only docs containing a query term are touched.
+  *
+  *  - `searchWand`: per-(term,salt) posting runs are repartitioned by salt
+  *    (contiguous doc ranges), and each task runs document-at-a-time WAND
+  *    with block-max skipping and a bounded heap per query; per-salt top-k
+  *    candidates then merge through the same heap aggregate. The analogue of
+  *    PISA's `block_max_maxscore` (benchmark/on_pisa.py:51,98-100).
+  *
+  * Query semantics pinned by the reference (benchmark/on_bm25s.py:131-150):
+  * duplicate query tokens contribute once per occurrence (qtf multiplier);
+  * OOV query terms contribute 0; queries whose tokens are all stopwords /
+  * OOV produce no result rows (the reference returns arbitrary zero-score
+  * docs there — under-determined, see SURVEY.md §5.2).
+  *
+  * Result ordering: (score DESC, docId ASC by surrogate id) with rank 1..k.
+  */
+object QueryEngine {
+
+  /** Tokenized, term-frequency-weighted queries: (qid, term, qtf). */
+  private def queryTerms(index: BM25Index, queries: DataFrame): DataFrame =
+    queries
+      .select(col("qid"),
+        explode(Tokenizer.tokens(col("query"), index.tokenPattern)).as("term"))
+      .groupBy("qid", "term").agg(count(lit(1)).cast("double").as("qtf"))
+
+  /** Candidate posting rows for the given term set, with bucket partition
+    * pruning (terms hash to a known bucket subset) and term pushdown.
+    */
+  private def candidates(index: BM25Index, terms: Seq[String]): DataFrame = {
+    val buckets = terms
+      .map(t => graft.util.Hashing.bucketOfTerm(t, index.numBuckets)).distinct
+    index.postings
+      .where(col("bucket").isInCollection(buckets))
+      .where(col("term").isInCollection(terms))
+  }
+
+  private def collectTerms(qt: DataFrame): Seq[String] =
+    qt.select("term").distinct().collect().map(_.getString(0)).toSeq
+
+  /** Finish: grouped bounded-heap top-k, rank assignment, docId resolution. */
+  private def finishTopK(index: BM25Index, scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredDoc])
+    val hits = scored
+      .groupBy("qid")
+      .agg(topk(col("docIntId"), col("score")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), col("hit.docId").as("docIntId"),
+        col("hit.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+    index.docs
+      .join(broadcast(hits), "docIntId")
+      .select(col("qid"), col("docId"), col("score"), col("rank"))
+  }
+
+  /** Exact path: join + aggregate over decoded blocks. */
+  def searchExact(index: BM25Index, queries: DataFrame, k: Int): DataFrame = {
+    val qt = queryTerms(index, queries)
+    val terms = collectTerms(qt)
+    if (terms.isEmpty) return emptyResult(index.spark)
+    val cand = candidates(index, terms)
+      .select(col("term"), explode(col("blocks")).as("block"))
+      .select(col("term"),
+        CodecExprs.varbyteDecode(col("block.ids"), col("block.n")).as("ids"),
+        CodecExprs.floatsDecode(col("block.imps")).as("imps"))
+      .join(broadcast(qt), "term")
+      .select(col("qid"), col("qtf"),
+        explode(zip_with(col("ids"), col("imps"),
+          (i, s) => struct(i.as("d"), s.as("s")))).as("pair"))
+      .select(col("qid"), col("pair.d").as("docIntId"),
+        (col("pair.s") * col("qtf")).as("contrib"))
+    val scored = cand.groupBy("qid", "docIntId")
+      .agg(sum("contrib").as("score"))
+    finishTopK(index, scored, k)
+  }
+
+  /** WAND path: per-salt document-at-a-time pruned scan. */
+  def searchWand(index: BM25Index, queries: DataFrame, k: Int): DataFrame = {
+    val spark = index.spark
+    val qt = queryTerms(index, queries)
+    val qArr: Array[(String, Array[(String, Double)])] = qt
+      .groupBy("qid").agg(collect_list(struct(col("term"), col("qtf"))).as("ts"))
+      .collect()
+      .map(r => (r.getString(0),
+        r.getSeq[Row](1).map(t => (t.getString(0), t.getDouble(1))).toArray))
+    if (qArr.isEmpty) return emptyResult(spark)
+    val terms = qArr.flatMap(_._2.map(_._1)).distinct.toSeq
+    val bq = spark.sparkContext.broadcast(qArr)
+    val kk = k
+
+    val cand = candidates(index, terms)
+      .select(col("term"), col("salt"), col("maxImpact"), col("blocks"))
+      .repartition(col("salt"))
+
+    implicit val enc = Encoders.product[(String, Long, Double)]
+    val partials = cand.mapPartitions { rows =>
+      // rows: postings of query terms, several salts per task
+      val bySalt = rows.toSeq.groupBy(_.getInt(1))
+      bySalt.iterator.flatMap { case (_, srows) =>
+        val byTerm: Map[String, Row] = srows.map(r => r.getString(0) -> r).toMap
+        bq.value.iterator.flatMap { case (qid, qterms) =>
+          Wand.topkForQuery(qid, qterms, byTerm, kk)
+        }
+      }
+    }.toDF("qid", "docIntId", "score")
+
+    finishTopK(index, partials, k)
+  }
+
+  private def emptyResult(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+      StructField("qid", StringType), StructField("docId", StringType),
+      StructField("score", DoubleType), StructField("rank", IntegerType))))
+  }
+}
+
+/** Document-at-a-time WAND with block-max skipping over one salt's posting
+  * runs (decoded lazily per block). Pure JVM — runs inside mapPartitions.
+  */
+object Wand {
+
+  /** Cursor over one (term,salt) posting run. Blocks decode lazily; skipping
+    * to a target docId never decodes blocks whose `last < target`.
+    */
+  private final class Cursor(val qtf: Double, val ubTotal: Double, blocks: Seq[Row]) {
+    private var bi = -1
+    private var ids: Array[Long] = null
+    private var imps: Array[Float] = null
+    private var pos = 0
+    nextBlock()
+
+    private def nextBlock(): Unit = {
+      bi += 1
+      if (bi < blocks.length) {
+        val b = blocks(bi)
+        ids = Codec.decodeDeltaVarByte(b.getAs[Array[Byte]]("ids"), b.getAs[Int]("n"))
+        imps = Codec.decodeFloats(b.getAs[Array[Byte]]("imps"))
+        pos = 0
+      } else { ids = null; imps = null }
+    }
+
+    def exhausted: Boolean = ids == null
+    def curDoc: Long = if (exhausted) Long.MaxValue else ids(pos)
+    def curContrib: Double = imps(pos) * qtf
+    /** max impact of the current block × qtf (block-max refinement). */
+    def curBlockUb: Double =
+      if (exhausted) 0.0 else blocks(bi).getAs[Float]("max") * qtf
+
+    def advance(): Unit = {
+      if (exhausted) return
+      pos += 1
+      if (pos >= ids.length) nextBlock()
+    }
+
+    /** Skip to first doc >= target without decoding skipped blocks. */
+    def advanceTo(target: Long): Unit = {
+      if (exhausted || curDoc >= target) return
+      // skip whole blocks via metadata
+      while (bi < blocks.length && blocks(bi).getAs[Long]("last") < target) bi += 1
+      if (bi >= blocks.length) { ids = null; imps = null; return }
+      // (re)decode current block if we moved past the decoded one
+      val b = blocks(bi)
+      if (ids == null || ids.length != b.getAs[Int]("n") || ids(0) != b.getAs[Long]("first")) {
+        ids = Codec.decodeDeltaVarByte(b.getAs[Array[Byte]]("ids"), b.getAs[Int]("n"))
+        imps = Codec.decodeFloats(b.getAs[Array[Byte]]("imps"))
+        pos = 0
+      }
+      // binary search within block
+      var lo = pos; var hi = ids.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ids(mid) < target) lo = mid + 1 else hi = mid
+      }
+      pos = lo
+      if (pos >= ids.length) nextBlock()
+    }
+  }
+
+  /** Top-k for one query over one salt's term→postings map. Emits up to k
+    * (qid, docIntId, score) candidates (merged globally by TopKAggregator).
+    */
+  def topkForQuery(qid: String, qterms: Array[(String, Double)],
+                   byTerm: Map[String, Row], k: Int): Iterator[(String, Long, Double)] = {
+    val cursors: Array[Cursor] = qterms.flatMap { case (t, qtf) =>
+      byTerm.get(t).map { r =>
+        val maxImpact = r.getAs[Float]("maxImpact")
+        new Cursor(qtf, maxImpact * qtf, r.getSeq[Row](r.fieldIndex("blocks")))
+      }
+    }
+    if (cursors.isEmpty) return Iterator.empty
+
+    val agg = new TopKAggregator(k)
+    val heap = agg.zero
+    var live = cursors.filterNot(_.exhausted)
+
+    while (live.nonEmpty) {
+      val sorted = live.sortBy(_.curDoc)
+      val threshold = if (heap.size < k) Double.NegativeInfinity else heap.scores(0)
+      // pivot: first prefix whose summed upper bounds exceed the threshold
+      var acc = 0.0; var pi = 0; var found = -1
+      while (pi < sorted.length && found < 0) {
+        acc += sorted(pi).ubTotal
+        if (acc > threshold) found = pi
+        pi += 1
+      }
+      if (found < 0) return drain(qid, agg, heap) // no doc can beat threshold
+      val pivotDoc = sorted(found).curDoc
+      if (pivotDoc == Long.MaxValue) return drain(qid, agg, heap)
+
+      if (sorted(0).curDoc == pivotDoc) {
+        // all cursors 0..found sit on pivotDoc: block-max refinement, then
+        // full evaluation
+        var blockUb = 0.0
+        var i = 0
+        while (i < sorted.length && sorted(i).curDoc == pivotDoc) {
+          blockUb += sorted(i).curBlockUb; i += 1
+        }
+        if (blockUb > threshold) {
+          var score = 0.0
+          i = 0
+          while (i < sorted.length && sorted(i).curDoc == pivotDoc) {
+            score += sorted(i).curContrib; i += 1
+          }
+          agg.insert(heap, pivotDoc, score)
+        }
+        i = 0
+        while (i < sorted.length && sorted(i).curDoc == pivotDoc) {
+          sorted(i).advance(); i += 1
+        }
+      } else {
+        // advance lagging cursors up to the pivot
+        var i = 0
+        while (i < found) { sorted(i).advanceTo(pivotDoc); i += 1 }
+      }
+      live = live.filterNot(_.exhausted)
+    }
+    drain(qid, agg, heap)
+  }
+
+  private def drain(qid: String, agg: TopKAggregator, heap: TopKBuf) =
+    agg.finish(heap).iterator.map(h => (qid, h.docId, h.score))
+}

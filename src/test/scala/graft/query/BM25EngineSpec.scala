@@ -1,0 +1,114 @@
+package graft.query
+
+import graft.SparkTestBase
+import graft.index.IndexBuilder
+import graft.score.{BM25, BM25Params}
+import graft.tokenize.Tokenizer
+import graft.util.SynthCorpus
+
+/** Golden end-to-end parity: Spark index+query (both physical paths) vs the
+  * in-repo scalar reference engine — playing the role the rank_bm25 /
+  * numpy-vs-numba-vs-jax cross-assertions play in the reference
+  * (benchmark/on_bm25s.py:189,207-208, tolerance 1e-6 there; our impacts are
+  * float32 like bm25s's score matrix, summed in differing orders across
+  * engines, so the tolerance here is 1e-4 on scores with rank-identity
+  * checked outside tie groups).
+  */
+class BM25EngineSpec extends SparkTestBase {
+
+  private val k = 10
+  private lazy val corpus = SynthCorpus.gen(8, 25) // 200 docs
+  private lazy val queries = SynthCorpus.queries
+
+  private lazy val indexDir = {
+    val dir = tmpDir("graft-index")
+    import spark.implicits._
+    val df = spark.createDataset(corpus).toDF()
+      .selectExpr("concat(repo, ':', path, '@', commit) as docId", "content")
+    IndexBuilder.build(spark, df, dir,
+      IndexBuilder.Config(numSegmentGroups = 2, numBuckets = 8))
+    dir
+  }
+
+  private lazy val scalar = new BM25.ScalarEngine(
+    corpus.map(sf => sf.docId -> Tokenizer.tokenizeScalar(sf.content)),
+    BM25Params(), quantizeImpacts = true)
+
+  private lazy val queriesDf = {
+    import spark.implicits._
+    queries.toDF("qid", "query")
+  }
+
+  private def checkAgainstScalar(results: Map[String, Seq[(String, Double)]]): Unit = {
+    for ((qid, qtext) <- queries) {
+      val expected = scalar.topK(Tokenizer.tokenizeScalar(qtext), k)
+      val got = results.getOrElse(qid, Nil)
+      assert(got.size == expected.size, s"$qid: size ${got.size} != ${expected.size} ($qtext)")
+      // scores match positionally within tolerance
+      got.zip(expected).zipWithIndex.foreach { case (((gd, gs), (ed, es)), r) =>
+        assert(math.abs(gs - es) < 1e-4,
+          s"$qid rank ${r + 1}: score $gs vs $es (doc $gd vs $ed)")
+      }
+      // docIds rank-identical outside tie groups: compare as sets within
+      // groups of equal (rounded) score
+      def tieGroups(xs: Seq[(String, Double)]): Seq[Set[String]] =
+        xs.groupBy { case (_, s) => math.round(s * 1e6) }.toSeq
+          .sortBy(-_._1).map(_._2.map(_._1).toSet)
+      assert(tieGroups(got) == tieGroups(expected),
+        s"$qid: rank order differs\n got=$got\n exp=$expected")
+    }
+  }
+
+  private def collectResults(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .groupBy(_.getString(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(3)).map(r => (r.getString(1), r.getDouble(2))).toSeq
+      }
+
+  test("exact path matches scalar reference") {
+    val idx = new BM25Index(spark, indexDir)
+    assert(idx.numDocs == 200)
+    val res = QueryEngine.searchExact(idx, queriesDf, k)
+    checkAgainstScalar(collectResults(res))
+  }
+
+  test("wand path matches scalar reference") {
+    val idx = new BM25Index(spark, indexDir)
+    val res = QueryEngine.searchWand(idx, queriesDf, k)
+    checkAgainstScalar(collectResults(res))
+  }
+
+  test("dual-path allclose: exact vs wand agree") {
+    val idx = new BM25Index(spark, indexDir)
+    val a = collectResults(QueryEngine.searchExact(idx, queriesDf, k))
+    val b = collectResults(QueryEngine.searchWand(idx, queriesDf, k))
+    assert(a.keySet == b.keySet)
+    for (qid <- a.keySet) {
+      val (da, db) = (a(qid), b(qid))
+      assert(da.size == db.size, s"$qid sizes")
+      da.zip(db).foreach { case ((d1, s1), (d2, s2)) =>
+        assert(math.abs(s1 - s2) < 1e-6, s"$qid: $d1=$s1 vs $d2=$s2")
+      }
+    }
+  }
+
+  test("all-stopword and all-OOV queries yield no rows") {
+    val idx = new BM25Index(spark, indexDir)
+    import spark.implicits._
+    val res = QueryEngine.searchExact(idx,
+      Seq(("qa", "a the of to"), ("qb", "zzz_oov qqq_missing")).toDF("qid", "query"), k)
+    assert(res.count() == 0)
+  }
+
+  test("index stats and properties recorded") {
+    val idx = new BM25Index(spark, indexDir)
+    assert(idx.params == BM25Params())
+    assert(idx.avgdl > 0)
+    assert(idx.props("stemmer") == "snowball-en")
+    // per-partition lineage present
+    val commits = idx.store.readCommits()
+    assert(commits.map(_.group).toSet
+      .intersect(Set("docmap", "seg-0", "seg-1", "docs", "postings")).size == 5)
+  }
+}
