@@ -1,0 +1,291 @@
+package graft.entry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.tokenize.Tokenizer
+
+/** Driver-contract queries (SparkEntry.queries) with DuckDB oracle SQL.
+  *
+  * Conventions that keep the Spark↔DuckDB hash compare exact:
+  *  - all output column names lowercase, identical on both sides;
+  *  - FP aggregates rounded (2-4 dp) on both sides; ranking is computed on
+  *    the ROUNDED score with a deterministic id tie-break, so 1e-15
+  *    accumulation-order drift can't flip ranks;
+  *  - BIGINT sums cast explicitly in DuckDB (sum(BIGINT) is HUGEINT there);
+  *  - tokenization for oracle-checked text queries uses the ASCII pattern
+  *    `[a-z0-9_]{2,}` (identical semantics in Java and DuckDB regex; the
+  *    engine's Unicode parity pattern is exercised in ScalaTest instead).
+  */
+object DriverQueries {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  // ---- shared tokenization fragments ----------------------------------
+
+  private val stopSql: String =
+    Tokenizer.StopwordsEn.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Spark: ASCII tokens of lower(text), stopwords removed. */
+  private def asciiTokens(text: Column): Column =
+    Tokenizer.tokensNoStem(text, Tokenizer.AsciiTokenPattern)
+
+  /** DuckDB CTE: ftok(doc_id, term) — one row per surviving token. */
+  private val ftokCte: String =
+    s"""tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]{2,}')) AS term
+       |  FROM documents
+       |), ftok AS (
+       |  SELECT doc_id, term FROM tok WHERE term NOT IN $stopSql
+       |)""".stripMargin
+
+  // ---- BM25 flagship ---------------------------------------------------
+
+  /** Fixed query set over the `documents` vocabulary (mix of high/mid-df
+    * terms, stopwords, duplicates, OOV).
+    */
+  val bm25Queries: Seq[(String, String)] = Seq(
+    ("q01", "hash join order"),
+    ("q02", "table scan merge"),
+    ("q03", "the window batch stream"),
+    ("q04", "spark fast key"),
+    ("q05", "sort dup small part"),
+    ("q06", "merge merge merge join"), // duplicate query terms
+    ("q07", "zebra quantum"), // OOV
+    ("q08", "index scan filter push"))
+
+  private val k1 = 1.5
+  private val b = 0.75
+  private val topK = 10
+
+  /** Composed declarative BM25 (lucene variant, double math end-to-end):
+    * tf/df/len aggregates + scoring join + rounded-rank window. The
+    * index-backed engine path (float32 impacts) is exercised by
+    * `bm25_topk_indexed` and ScalaTest parity suites.
+    */
+  def bm25TopkComposed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val ftok = docs.select(col("doc_id"),
+      explode(asciiTokens(col("text"))).as("term"))
+    val tf = ftok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = ftok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val nDocs = docs.count()
+    val sumDl = ftok.count()
+    val avgdl = sumDl.toDouble / nDocs
+
+    import spark.implicits._
+    val q = bm25Queries.toDF("qid", "qtext")
+    val qtf = q.select(col("qid"), explode(asciiTokens(col("qtext"))).as("term"))
+      .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+
+    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfw = col("tf") / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val scored = qtf
+      .join(tf, "term").join(dft, "term").join(dl, "doc_id")
+      .select(col("qid"), col("doc_id"),
+        (col("qtf") * idf * tfw).as("contrib"))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(col("contrib")), 4).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("doc_id"), col("score"), col("rank").cast("int"))
+  }
+
+  val bm25TopkSql: String = {
+    val valuesSql = bm25Queries.map { case (qid, q) => s"('$qid','$q')" }.mkString(", ")
+    s"""WITH $ftokCte,
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ftok GROUP BY 1,2),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ftok GROUP BY 1),
+       |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+       |                 (SELECT count(*) FROM ftok)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+       |q(qid, qtext) AS (VALUES $valuesSql),
+       |qtok AS (SELECT qid, unnest(regexp_extract_all(lower(qtext), '[a-z0-9_]{2,}')) AS term FROM q),
+       |qtf AS (SELECT qid, term, count(*)::BIGINT AS qtf FROM qtok WHERE term NOT IN $stopSql GROUP BY 1,2),
+       |scored AS (
+       |  SELECT qtf.qid, tf.doc_id,
+       |    round(sum(qtf.qtf * ln(1.0 + (stats.n - dft.df + 0.5)/(dft.df + 0.5))
+       |      * tf.tf / (tf.tf + $k1 * (${1.0 - b} + $b * dl.dl / stats.avgdl))), 4) AS score
+       |  FROM qtf
+       |  JOIN tf USING (term) JOIN dft USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1,2
+       |),
+       |ranked AS (
+       |  SELECT qid, doc_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM scored)
+       |SELECT qid, doc_id, score, rank::INT AS rank FROM ranked WHERE rank <= $topK
+       |""".stripMargin
+  }
+
+  // ---- tokenization stats ----------------------------------------------
+
+  def tokDoclen(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(asciiTokens(col("text"))).cast("long").as("doclen"))
+
+  val tokDoclenSql: String =
+    s"""WITH $ftokCte,
+       |c AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM ftok GROUP BY 1)
+       |SELECT d.doc_id, coalesce(c.doclen, 0)::BIGINT AS doclen
+       |FROM documents d LEFT JOIN c USING (doc_id)""".stripMargin
+
+  def termDf(spark: SparkSession, sfDir: String): DataFrame = {
+    val ftok = t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(asciiTokens(col("text"))).as("term"))
+    ftok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(200)
+  }
+
+  val termDfSql: String =
+    s"""WITH $ftokCte
+       |SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ftok
+       |GROUP BY 1 ORDER BY df DESC, term ASC LIMIT 200""".stripMargin
+
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val ftok = docs.select(col("doc_id"), explode(asciiTokens(col("text"))).as("term"))
+    val nDocs = docs.count()
+    val nTokens = ftok.count()
+    import spark.implicits._
+    Seq((nDocs, nTokens,
+      BigDecimal(nTokens.toDouble / nDocs)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_docs", "n_tokens", "avgdl")
+  }
+
+  val corpusStatsSql: String =
+    s"""WITH $ftokCte
+       |SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       |       count(*)::BIGINT AS n_tokens,
+       |       round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 4) AS avgdl
+       |FROM ftok""".stripMargin
+
+  // ---- relational analogues of the analysis pipeline --------------------
+
+  /** Partial+final hash agg with several aggregate kinds (reference
+    * combine_results groupby/agg, analysis/combine_results.py:152-164).
+    */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("n"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*)::BIGINT AS n
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  /** Multi-way join: broadcast dims, shuffle fact (SURVEY.md §2.8 joins). */
+  def q2JoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val o = t(spark, sfDir, "orders")
+    val c = t(spark, sfDir, "customer")
+    val n = t(spark, sfDir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  val q2JoinAggSql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*)::BIGINT AS n
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1""".stripMargin
+
+  /** Grouped top-k via window (reference Q2 fallback; Spark 4 plans a
+    * WindowGroupLimit pushdown for rn <= k).
+    */
+  def q3WindowTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(spark, sfDir, "customer")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        col("rnk").cast("int"))
+  }
+
+  val q3WindowTopkSql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal, rnk::INT AS rnk FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+      |  FROM customer) WHERE rnk <= 3""".stripMargin
+
+  /** Pivot/reshape (reference analysis pivots, combine_results.py:174-184). */
+  def q4Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("l_returnflag"), col("F").as("f"), col("O").as("o"))
+
+  val q4PivotSql: String =
+    """SELECT l_returnflag,
+      |  count(CASE WHEN l_linestatus = 'F' THEN 1 END)::BIGINT AS f,
+      |  count(CASE WHEN l_linestatus = 'O' THEN 1 END)::BIGINT AS o
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Tumbling-window aggregation over the events table (batch form; the
+    * streaming module reuses the same logic with watermarks).
+    */
+  def eventsTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
+  val eventsTumblingSql: String =
+    """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+      |  count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---- registry ---------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_topk" -> (bm25TopkComposed _),
+    "tok_doclen" -> (tokDoclen _),
+    "term_df" -> (termDf _),
+    "corpus_stats" -> (corpusStats _),
+    "q1_agg" -> (q1Agg _),
+    "q2_join_agg" -> (q2JoinAgg _),
+    "q3_window_topk" -> (q3WindowTopk _),
+    "q4_pivot" -> (q4Pivot _),
+    "events_tumbling" -> (eventsTumbling _))
+
+  val oracleSql: Map[String, String] = Map(
+    "bm25_topk" -> bm25TopkSql,
+    "tok_doclen" -> tokDoclenSql,
+    "term_df" -> termDfSql,
+    "corpus_stats" -> corpusStatsSql,
+    "q1_agg" -> q1AggSql,
+    "q2_join_agg" -> q2JoinAggSql,
+    "q3_window_topk" -> q3WindowTopkSql,
+    "q4_pivot" -> q4PivotSql,
+    "events_tumbling" -> eventsTumblingSql)
+}
