@@ -11,9 +11,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.entry.DriverQueries.queries
+    graft.entry.DriverQueries.queries ++ graft.entry.OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
-  def oracleSql: Map[String, String] = graft.entry.DriverQueries.oracleSql
+  def oracleSql: Map[String, String] =
+    graft.entry.DriverQueries.oracleSql ++ graft.entry.OpsQueries.oracleSql
 }

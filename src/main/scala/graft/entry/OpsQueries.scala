@@ -1,0 +1,272 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.tokenize.Tokenizer
+
+/** Driver-contract entries for the training-data pipeline operators
+  * (dedup / similarity / text analysis / multimodal / eval / indexed BM25).
+  * Oracle SQL provided wherever DuckDB can express the operator; the rest
+  * (minhash/simhash/LSH/winnowing/eval/indexed-engine) get the driver's
+  * rows-only check and are verified in ScalaTest instead.
+  */
+object OpsQueries {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def asciiToks = Tokenizer.splitTokens(col("text"), Tokenizer.AsciiTokenPattern)
+  private val stopSql =
+    Tokenizer.StopwordsEn.map(w => s"'$w'").mkString("(", ",", ")")
+
+  // ---- dedup ------------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exact(docs(spark, sfDir), "doc_id", "text")
+      .select(col("id"), col("grp"), col("grp_size"), col("keep"))
+
+  val dedupExactSql: String =
+    """WITH h AS (SELECT doc_id AS id, md5(text) AS grp FROM documents)
+      |SELECT id, grp, count(*) OVER (PARTITION BY grp)::BIGINT AS grp_size,
+      |  (id = min(id) OVER (PARTITION BY grp)) AS keep FROM h""".stripMargin
+
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccard(docs(spark, sfDir), asciiToks, "doc_id",
+      n = 3, threshold = 0.8, roundTo = 6)
+
+  val dedupNgramJaccardSql: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks)-1),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |       FROM t WHERE len(toks) >= 3),
+      |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2)
+      |SELECT id_a, id_b,
+      |  round(inter::DOUBLE/(sza.sz + szb.sz - inter), 6) AS jaccard
+      |FROM inter JOIN sz sza ON id_a = sza.doc_id JOIN sz szb ON id_b = szb.doc_id
+      |WHERE round(inter::DOUBLE/(sza.sz + szb.sz - inter), 6) >= 0.8""".stripMargin
+
+  /** MinHash+LSH near-dups (no SQL oracle: xxhash64 signatures). The
+    * ScalaTest suite checks recall against exact Jaccard.
+    */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashLsh(docs(spark, sfDir), asciiToks, "doc_id",
+      n = 3, m = 32, bands = 8, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashNearDups(docs(spark, sfDir), asciiToks, "doc_id", maxDist = 3)
+      .orderBy("id_a", "id_b")
+
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.embeddingNearDups(emb(spark, sfDir), "vec_id", "embedding",
+      dims = 64, threshold = 0.4, nBits = 2)
+      .orderBy("id_a", "id_b")
+
+  // ---- similarity search -------------------------------------------------
+
+  private def annInputs(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val e = emb(spark, sfDir)
+    (e.where(col("vec_id") >= 5).select(col("vec_id").as("id"), col("embedding")),
+      e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding")))
+  }
+
+  def annCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val (corpus, queries) = annInputs(spark, sfDir)
+    Similarity.bruteForceTopK(corpus, queries, k = 5)
+  }
+
+  val annCosineTopkSql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id >= 5),
+      |s AS (SELECT qid, id, round(list_cosine_similarity(qe, ce), 6) AS sim FROM q, c),
+      |r AS (SELECT qid, id, sim,
+      |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id ASC) AS rank FROM s)
+      |SELECT qid, id, sim, rank::INT AS rank FROM r WHERE rank <= 5""".stripMargin
+
+  def annLshTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val (corpus, queries) = annInputs(spark, sfDir)
+    Similarity.lshTopK(corpus, queries, k = 5, dims = 64, nBits = 8, probes = 2)
+  }
+
+  // ---- text analysis -----------------------------------------------------
+
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.quality(docs(spark, sfDir), "doc_id", "text")
+
+  val textQualitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id AS id, text,
+       |    length(text)::BIGINT AS n_chars,
+       |    len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws_tokens,
+       |    regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS toks,
+       |    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::BIGINT AS n_punct
+       |  FROM documents),
+       |f AS (
+       |  SELECT id, n_chars, n_ws_tokens, len(toks)::BIGINT AS n_alpha_tokens,
+       |    round(CASE WHEN len(toks) > 0 THEN
+       |      len(list_filter(toks, x -> x IN $stopSql))::DOUBLE / len(toks)
+       |      ELSE 0.0 END, 4) AS stopword_ratio,
+       |    round(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END, 4) AS punct_ratio,
+       |    round(CASE WHEN len(toks) > 0 THEN
+       |      list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+       |      ELSE 0.0 END, 4) AS avg_token_len
+       |  FROM t)
+       |SELECT id, n_chars, n_ws_tokens, n_alpha_tokens, stopword_ratio,
+       |  punct_ratio, avg_token_len,
+       |  round(CASE WHEN n_ws_tokens = 0 THEN 0.0 ELSE
+       |    least(1.0, n_ws_tokens::DOUBLE / 20.0) * (1.0 - punct_ratio)
+       |      * least(1.0, avg_token_len / 4.0) END, 4) AS quality_score
+       |FROM f""".stripMargin
+
+  def textLangid(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id").as("id"),
+        TextAnalysis.langIdCol(asciiToks).as("l"))
+      .select(col("id"), col("l.lang_pred").as("lang_pred"),
+        col("l.marker_hits").as("marker_hits"))
+
+  val textLangidSql: String = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+    val cols = TextAnalysis.markers.map { case (lang, ws) =>
+      s"len(list_filter(toks, x -> x IN ${inList(ws)}))::BIGINT AS c_$lang"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.markers.map(_._1)
+    val best = s"greatest(${langs.map(l => s"c_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN c_$l = best AND best > 0 THEN '$l'").mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id AS id,
+       |    regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS toks
+       |  FROM documents),
+       |c AS (SELECT id, $cols FROM t),
+       |b AS (SELECT *, $best AS best FROM c)
+       |SELECT id, CASE $cases ELSE 'en' END AS lang_pred,
+       |  best::BIGINT AS marker_hits FROM b""".stripMargin
+  }
+
+  def textTokcount(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(spark, sfDir), "doc_id", "text")
+
+  val textTokcountSql: String =
+    """SELECT doc_id AS id,
+      |  len(regexp_extract_all(text, '\S+'))::BIGINT AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpe_tokens
+      |FROM documents""".stripMargin
+
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id").as("id"),
+      TextAnalysis.md5Fingerprint(col("text")).as("fp16"))
+
+  val textFingerprintSql: String =
+    "SELECT doc_id AS id, substr(md5(lower(text)), 1, 16) AS fp16 FROM documents"
+
+  /** Winnowing fingerprints (rows-only; scalar twin tested in ScalaTest). */
+  def textWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.fingerprints(docs(spark, sfDir), "doc_id", "text")
+      .select(col("id"), size(col("fingerprints")).cast("long").as("n_fingerprints"),
+        col("fingerprints"))
+
+  // ---- multimodal ---------------------------------------------------------
+
+  def mmBinaryMeta(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.asMediaTable(docs(spark, sfDir), "doc_id", "text")
+      .select(col("id"), col("kind"), col("meta.n_bytes").as("n_bytes"),
+        substring(hex(col("media")), 1, 16).as("hex16"))
+
+  val mmBinaryMetaSql: String =
+    """SELECT doc_id AS id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  octet_length(encode(text))::BIGINT AS n_bytes,
+      |  substr(hex(encode(text)), 1, 16) AS hex16
+      |FROM documents""".stripMargin
+
+  def mmDecodeStub(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.decodeBatch(
+      Multimodal.asMediaTable(docs(spark, sfDir), "doc_id", "text"))
+      .select(col("id"), col("kind"), col("width"), col("height"),
+        col("n_frames"), size(col("features")).as("n_features"))
+
+  def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.asMediaTable(docs(spark, sfDir), "doc_id", "text"))
+
+  // ---- eval + indexed engine (rows-only) ----------------------------------
+
+  /** NDCG/MAP/Recall/P of the composed BM25 ranking against qrels derived
+    * from a deliberately different ranking (pure term-frequency), so the
+    * metrics are non-trivial and fully deterministic.
+    */
+  def evalMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val res = DriverQueries.bm25TopkComposed(spark, sfDir)
+      .select(col("qid"), col("doc_id").cast("string").as("docId"), col("score"))
+    // qrels: top-3 docs by raw summed tf per query, grades 3/2/1
+    val d = docs(spark, sfDir)
+    val ftok = d.select(col("doc_id"),
+      explode(Tokenizer.tokensNoStem(col("text"), Tokenizer.AsciiTokenPattern)).as("term"))
+    val tf = ftok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    import spark.implicits._
+    val q = DriverQueries.bm25Queries.toDF("qid", "qtext")
+    val qt = q.select(col("qid"),
+      explode(Tokenizer.tokensNoStem(col("qtext"), Tokenizer.AsciiTokenPattern)).as("term"))
+    val tfScore = qt.join(tf, "term").groupBy("qid", "doc_id")
+      .agg(sum("tf").as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("s").desc, col("doc_id").asc)
+    val qrels = tfScore.withColumn("r", row_number().over(w)).where(col("r") <= 3)
+      .select(col("qid"), col("doc_id").cast("string").as("docId"),
+        (lit(4) - col("r")).cast("int").as("grade"))
+    graft.eval.TrecEval.evaluate(res, qrels, Seq(1, 3, 10))
+  }
+
+  /** Full index-backed engine over documents (stemmed unicode pipeline,
+    * float32 impacts, WAND) — rows-only driver check; parity vs the scalar
+    * engine is covered in ScalaTest.
+    */
+  def bm25TopkIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-docs").toString
+    val corpus = docs(spark, sfDir)
+      .select(col("doc_id").cast("string").as("docId"), col("text").as("content"))
+    graft.index.IndexBuilder.build(spark, corpus, dir,
+      graft.index.IndexBuilder.Config(numSegmentGroups = 2, numBuckets = 8))
+    val idx = new graft.query.BM25Index(spark, dir)
+    import spark.implicits._
+    val q = DriverQueries.bm25Queries.toDF("qid", "query")
+    graft.query.QueryEngine.searchWand(idx, q, 10)
+  }
+
+  // ---- registry -----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "ann_cosine_topk" -> (annCosineTopk _),
+    "ann_lsh_topk" -> (annLshTopk _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_tokcount" -> (textTokcount _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_winnow" -> (textWinnow _),
+    "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_decode_stub" -> (mmDecodeStub _),
+    "mm_frame_sample" -> (mmFrameSample _),
+    "eval_metrics" -> (evalMetrics _),
+    "bm25_topk_indexed" -> (bm25TopkIndexed _))
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "ann_cosine_topk" -> annCosineTopkSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql,
+    "text_tokcount" -> textTokcountSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "mm_binary_meta" -> mmBinaryMetaSql)
+}

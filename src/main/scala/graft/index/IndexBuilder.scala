@@ -59,7 +59,8 @@ object IndexBuilder {
       tokenPattern: String = Tokenizer.TokenPattern,
       numSegmentGroups: Int = 4,
       numBuckets: Int = 16,
-      docmapPartitions: Int = 0) // 0 = spark default parallelism
+      docmapPartitions: Int = 0, // 0 = spark default parallelism
+      failAfterGroup: Int = -1) // test hook: crash after committing group g
 
   def saltOf(docIntId: Column): Column =
     shiftrightunsigned(docIntId, SaltShift).cast(IntegerType)
@@ -116,6 +117,8 @@ object IndexBuilder {
       store.commit(PartitionCommit(s"seg-$g", Seq(s"segments/g=$g"), rows,
         Map("stage" -> "segments", "group" -> g.toString),
         (System.nanoTime() - s) / 1e9))
+      if (g == cfg.failAfterGroup)
+        throw new IllegalStateException(s"injected failure after group $g (test hook)")
     }
 
     val segments = spark.read.parquet(segBase)

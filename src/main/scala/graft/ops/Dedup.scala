@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.util.Hashing
+
+/** Deduplication operators for a large-scale training-data pipeline, over a
+  * (id, text) document table. All candidate generation is blocking-based
+  * (hash group / LSH band / simhash chunk) so no stage ever materializes the
+  * full O(N²) pair space — the property that matters at 10^12 docs.
+  *
+  * Determinism: every hash is xxhash64(seed-mixed), no RNG state.
+  */
+object Dedup {
+
+  /** Exact duplicates via content hash. Output: one row per doc —
+    * (id, grp (md5 hex), grp_size, keep) where keep marks the smallest id
+    * of each group (the canonical survivor).
+    */
+  def exact(docs: DataFrame, idCol: String = "id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy("grp")
+    docs
+      .select(col(idCol).as("id"), md5(col(textCol).cast("binary")).as("grp"))
+      .withColumn("grp_size", count(lit(1)).over(w))
+      .withColumn("keep", col("id") === min(col("id")).over(w))
+  }
+
+  /** Token n-gram shingle set (distinct) as a Column over a token array. */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*))))
+
+  /** Exact pairwise n-gram Jaccard over shingle sets, blocked by shared
+    * shingle (a pair is compared only if it shares ≥1 shingle — no cross
+    * join). Output: (id_a, id_b, jaccard) for pairs ≥ threshold, id_a < id_b.
+    */
+  def ngramJaccard(docs: DataFrame, tokens: Column, idCol: String,
+                   n: Int = 3, threshold: Double = 0.5, roundTo: Int = 6): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(tokens, n)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")), roundTo).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature (m permutations) of a shingle array, as a UDF-free
+    * Column: sig[i] = min over shingles of xxhash64(i-salted shingle).
+    */
+  def minhashSignature(shingleCol: Column, m: Int): Column =
+    array((0 until m).map { i =>
+      coalesce(
+        array_min(transform(shingleCol, s => xxhash64(concat(lit(s"mh$i:"), s)))),
+        lit(Long.MaxValue))
+    }: _*)
+
+  /** MinHash + LSH banding near-dup candidates, verified by signature
+    * similarity. Bands of r rows; docs sharing any band bucket become
+    * candidates; est_jaccard = fraction of matching signature components.
+    * Output: (id_a, id_b, est_jaccard) ≥ threshold.
+    */
+  def minhashLsh(docs: DataFrame, tokens: Column, idCol: String,
+                 n: Int = 3, m: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.5, roundTo: Int = 6): DataFrame = {
+    require(m % bands == 0)
+    val r = m / bands
+    val signed = docs
+      .select(col(idCol).as("id"), shingles(tokens, n).as("sh"))
+      .where(size(col("sh")) > 0) // empty shingle sets have no Jaccard
+      .select(col("id"), minhashSignature(col("sh"), m).as("sig"))
+    // band hash: xxhash64 over the band's slice rendered to a string
+    val banded = signed.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map { bnd =>
+        xxhash64(concat_ws(",",
+          (0 until r).map(j => element_at(col("sig"), bnd * r + j + 1)): _*))
+      }: _*)).as(Seq("band", "bh")))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .select(col("id_a"), col("id_b"),
+        round(
+          size(filter(zip_with(col("siga"), col("sigb"),
+            (x, y) => x === y), b => b)).cast("double") / m,
+          roundTo).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of a token array: per-bit weighted vote of token
+    * hashes. Pure Column expressions (64 bit-sums via aggregate).
+    */
+  def simhash(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftrightunsigned(h, bit).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked by the
+    * pigeonhole principle: split 64 bits into (maxDist+1) chunks — any pair
+    * within distance shares at least one exact chunk.
+    * Output: (id_a, id_b, hamming).
+    */
+  def simhashNearDups(docs: DataFrame, tokens: Column, idCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val sh = docs.select(col(idCol).as("id"), simhash(tokens).as("sh"))
+    val chunked = sh.select(col("id"), col("sh"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftrightunsigned(col("sh"), c * width)
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("chunk", "cv")))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    val cand = a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("int").as("hamming"))
+      .where(col("hamming") <= maxDist)
+  }
+
+  /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold,
+    * LSH-blocked (reuses Similarity's hyperplane buckets) then exactly
+    * verified.
+    */
+  def embeddingNearDups(vecs: DataFrame, idCol: String, embCol: String,
+                        dims: Int, threshold: Double = 0.95,
+                        nBits: Int = 8, seed: Long = 42L,
+                        roundTo: Int = 6): DataFrame = {
+    val e = vecs.select(col(idCol).as("id"), col(embCol).as("emb"),
+      Similarity.lshSignature(col(embCol), dims, nBits, seed).as("bucket"))
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(Similarity.cosineCol(col("a.emb"), col("b.emb")), roundTo).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

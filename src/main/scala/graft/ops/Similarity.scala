@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.query.{ScoredDoc, TopKAggregator}
+
+/** Similarity search over an embedding column (ArrayType(FloatType)) — the
+  * approximate-nearest-neighbor counterpart of the BM25 engine for a
+  * training-data pipeline. Two paths, mirroring the exact/pruned duality of
+  * QueryEngine:
+  *
+  *  - `bruteForceTopK`: exact cosine top-k. Queries are broadcast (small
+  *    side) against the full corpus; per-partition bounded heaps merge via
+  *    TopKAggregator, so the shuffle carries at most k rows per (query,
+  *    partition) — never the full similarity matrix.
+  *
+  *  - `lshTopK`: random-hyperplane LSH (deterministic seed). Vectors bucket
+  *    by the sign-bit signature prefix; only same-bucket candidates are
+  *    scored, then exactly re-ranked. Recall < 1 by construction — the
+  *    scale path when the corpus no longer admits a full scan; `probes`
+  *    multi-probe (flipping low bits) trades compute for recall.
+  *
+  * All math in double (`zip_with` + `aggregate` fold — sequential, order-
+  * deterministic), codegen'd Column expressions, no UDFs.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def normCol(a: Column): Column = sqrt(dotCol(a, a))
+
+  private def toDouble(a: Column): Column =
+    transform(a, x => x.cast("double"))
+
+  /** cosine(a, b) over float arrays, computed in double. */
+  def cosineCol(a: Column, b: Column): Column = {
+    val ad = toDouble(a); val bd = toDouble(b)
+    dotCol(ad, bd) / (normCol(ad) * normCol(bd))
+  }
+
+  /** Exact brute-force cosine top-k.
+    *
+    * @param corpus  (id LONG, embedding ARRAY<FLOAT>)
+    * @param queries (qid LONG, embedding ARRAY<FLOAT>)
+    * @return (qid, id, sim, rank) — rank on rounded sim, id tie-break
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     roundTo: Int = 6): DataFrame = {
+    val q = broadcast(queries
+      .select(col("qid"), toDouble(col("embedding")).as("qe"))
+      .withColumn("qnorm", normCol(col("qe"))))
+    val c = corpus
+      .select(col("id"), toDouble(col("embedding")).as("ce"))
+      .withColumn("cnorm", normCol(col("ce")))
+    val scored = c.crossJoin(q)
+      .select(col("qid"), col("id"),
+        round(dotCol(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")), roundTo)
+          .as("sim"))
+    val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredDoc])
+    scored
+      .groupBy("qid")
+      .agg(topk(col("id"), col("sim")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), col("hit.docId").as("id"), col("hit.score").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (seed, bit, dim):
+    * a fixed hash-mix mapped to [-1, 1).
+    */
+  private def planeComponent(seed: Long, bit: Int, dim: Int): Double = {
+    val m = graft.util.SynthCorpus.mix(seed * 1000003L + bit * 10007L + dim)
+    (m >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  /** Sign-bit LSH signature of `nBits` hyperplanes as a Column (bit i set
+    * iff dot(v, plane_i) >= 0). Pure expressions: planes are literal arrays.
+    */
+  def lshSignature(embedding: Column, dims: Int, nBits: Int, seed: Long): Column = {
+    val e = toDouble(embedding)
+    (0 until nBits).map { bit =>
+      val plane = array((0 until dims).map(d => lit(planeComponent(seed, bit, d))): _*)
+      when(dotCol(e, plane) >= 0.0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: same output shape as bruteForceTopK.
+    * Candidates = corpus vectors sharing the query's bucket (plus buckets
+    * at Hamming distance 1 when `probes` > 0), re-ranked exactly.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              dims: Int, nBits: Int = 12, seed: Long = 42L,
+              probes: Int = 1, roundTo: Int = 6): DataFrame = {
+    val sig = (c: Column) => lshSignature(c, dims, nBits, seed)
+    val c = corpus
+      .select(col("id"), toDouble(col("embedding")).as("ce"),
+        sig(col("embedding")).as("bucket"))
+      .withColumn("cnorm", normCol(col("ce")))
+    // query probes: own bucket + single-bit flips of the lowest `probes` bits
+    val probeBuckets = (base: Column) =>
+      array((lit(0L) +: (0 until probes).map(b => lit(1L << b)))
+        .map(f => base.bitwiseXOR(f)): _*)
+    val q = broadcast(queries
+      .select(col("qid"), toDouble(col("embedding")).as("qe"),
+        explode(probeBuckets(sig(col("embedding")))).as("bucket"))
+      .withColumn("qnorm", normCol(col("qe"))))
+    val scored = c.join(q, "bucket")
+      .select(col("qid"), col("id"),
+        round(dotCol(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")), roundTo)
+          .as("sim"))
+      .dropDuplicates("qid", "id") // multi-probe can hit the same candidate
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("id"), col("sim"), col("rank").cast("int").as("rank"))
+  }
+}

@@ -1,0 +1,234 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.tokenize.Tokenizer
+
+class DedupSpec extends SparkTestBase {
+  import org.apache.spark.sql.DataFrame
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    // 0/1 identical; 2 near-dup of 0 (one token changed); 3-5 distinct
+    Seq(
+      (0L, "binary search tree node insert delete balance rotate left right"),
+      (1L, "binary search tree node insert delete balance rotate left right"),
+      (2L, "binary search tree node insert delete balance rotate left center"),
+      (3L, "hash map bucket collision probe chain resize load factor table"),
+      (4L, "stream window watermark state event time processing trigger sink"),
+      (5L, "short doc")).toDF("id", "text")
+  }
+  private def toks = Tokenizer.splitTokens(col("text"), Tokenizer.AsciiTokenPattern)
+
+  test("exact dedup groups identical docs") {
+    val r = Dedup.exact(docs, "id", "text").collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getBoolean(3))).toMap
+    assert(r(0L) == (2L, true))
+    assert(r(1L) == (2L, false))
+    assert(r(3L) == (1L, true))
+  }
+
+  test("ngram jaccard finds near-dups, exact values") {
+    val pairs = Dedup.ngramJaccard(docs, toks, "id", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical docs: jaccard 1.0
+    assert(pairs((0L, 1L)) == 1.0)
+    // 10-token docs, 8 shingles each; the changed 10th token appears only
+    // in the final shingle: inter=7, union=9 -> 7/9
+    assert(math.abs(pairs((0L, 2L)) - 7.0 / 9.0) < 1e-6)
+    assert(math.abs(pairs((1L, 2L)) - 7.0 / 9.0) < 1e-6)
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("minhash+lsh catches high-jaccard pairs with sane estimates") {
+    val est = Dedup.minhashLsh(docs, toks, "id", n = 3, m = 32, bands = 8,
+      threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((0L, 1L)) == 1.0) // identical signatures
+    assert(est.contains((0L, 2L)) && math.abs(est((0L, 2L)) - 7.0 / 9.0) < 0.3)
+  }
+
+  test("simhash: identical docs at hamming 0, unrelated docs not near") {
+    val r = Dedup.simhashNearDups(docs, toks, "id", maxDist = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2)).toMap
+    assert(r((0L, 1L)) == 0)
+    assert(!r.contains((3L, 4L)))
+  }
+
+  test("embedding near-dups via LSH blocking + exact verify") {
+    import spark.implicits._
+    def v(seed: Int): Array[Float] = Array.tabulate(8)(d =>
+      ((graft.util.SynthCorpus.mix(seed * 97L + d) >>> 11).toFloat / (1L << 53) - 0.5f))
+    def jitter(a: Array[Float], eps: Float): Array[Float] =
+      a.zipWithIndex.map { case (x, i) => x + eps * (i % 3 - 1) }
+    val base = v(1)
+    val vecs = Seq(
+      (0L, base), (1L, jitter(base, 1e-4f)), (2L, v(2)), (3L, v(3)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      dims = 8, threshold = 0.99, nBits = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.contains((0L, 1L)))
+    assert(!r.exists(p => p._2 == 2L || p._2 == 3L && p._1 != 0L || p._1 == 2L))
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+
+  /** deterministic clustered vectors: 4 centers, 25 points each. */
+  private def clustered(n: Int, dims: Int): Seq[(Long, Array[Float])] =
+    (0 until n).map { i =>
+      val c = i % 4
+      val vec = Array.tabulate(dims) { d =>
+        val center = ((graft.util.SynthCorpus.mix(c * 131L + d) >>> 11).toDouble / (1L << 53) - 0.5)
+        val noise = ((graft.util.SynthCorpus.mix(i * 7919L + d) >>> 11).toDouble / (1L << 53) - 0.5) * 0.1
+        (center + noise).toFloat
+      }
+      (i.toLong, vec)
+    }
+
+  test("brute-force cosine matches scalar math") {
+    import spark.implicits._
+    val data = clustered(40, 16)
+    val corpus = data.drop(4).toDF("id", "embedding")
+    val queries = data.take(4).map { case (i, v) => (i, v) }.toDF("qid", "embedding")
+    val got = Similarity.bruteForceTopK(corpus, queries, k = 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    for ((qid, qv) <- data.take(4)) {
+      val expected = data.drop(4)
+        .map { case (id, v) =>
+          (id, BigDecimal(cos(qv, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (id, s) => (-s, id) }.take(3)
+      assert(got(qid) == expected, s"query $qid")
+    }
+  }
+
+  test("lsh top-k achieves high recall on clustered data") {
+    import spark.implicits._
+    val data = clustered(104, 16)
+    val corpus = data.drop(4).toDF("id", "embedding")
+    val queries = data.take(4).toDF("qid", "embedding")
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Similarity.lshTopK(corpus, queries, k = 10, dims = 16,
+      nBits = 6, probes = 6).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.keys.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean lsh recall $mean too low")
+  }
+}
+
+class TextAnalysisSpec extends SparkTestBase {
+
+  test("kgram rolling hash matches BigInt reference") {
+    val s = "the quick brown fox jumps over the lazy dog"
+    val k = 8
+    val got = TextAnalysis.kgramHashes(s, k)
+    val M = BigInt(TextAnalysis.RollM)
+    val B = BigInt(TextAnalysis.RollB)
+    val cps = s.codePoints().toArray
+    val expected = (0 to cps.length - k).map { i =>
+      (0 until k).foldLeft(BigInt(0))((acc, j) => (acc * B + cps(i + j)) mod M).toLong
+    }
+    assert(got.toSeq == expected)
+  }
+
+  test("winnow: fingerprints are kgram hashes; identical docs share all") {
+    val s = "binary search tree rotations keep the invariant balanced"
+    val fp = TextAnalysis.winnow(s, k = 8, w = 4)
+    assert(fp.nonEmpty)
+    assert(fp.toSet.subsetOf(TextAnalysis.kgramHashes(s, 8).toSet))
+    assert(TextAnalysis.winnow(s, 8, 4).toSeq == fp.toSeq) // deterministic
+    // shared long substring ⇒ shared fingerprints
+    val t = "xx " + s.substring(3) + " yy"
+    assert(TextAnalysis.winnow(t, 8, 4).toSet.intersect(fp.toSet).nonEmpty)
+  }
+
+  test("quality + langid columns behave on fixtures") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog, with a ball!"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, ""),
+      (4L, "!!! ??? ...")).toDF("doc_id", "text")
+    val q = TextAnalysis.quality(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(3L).getLong(1) == 0L) // n_chars
+    assert(q(3L).getDouble(7) == 0.0) // quality_score
+    assert(q(4L).getDouble(4) == 0.0) // stopword_ratio (no alpha tokens)
+    assert(q(1L).getDouble(4) > 0.4) // many stopwords
+    val l = df.select(col("doc_id"),
+      TextAnalysis.langIdCol(
+        Tokenizer.splitTokens(col("text"), Tokenizer.AsciiTokenPattern)).as("l"))
+      .select(col("doc_id"), col("l.lang_pred")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(l(1L) == "en")
+    assert(l(2L) == "de")
+    assert(l(3L) == "en") // default
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+
+  test("media table + batched stub decode: deterministic, typed, complete") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha beta gamma"), (1L, "delta"), (2L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    assert(media.select("kind").distinct().collect().map(_.getString(0)).toSet ==
+      Set("image", "audio", "video"))
+    val d1 = Multimodal.decodeBatch(media).collect().sortBy(_.getLong(0))
+    val d2 = Multimodal.decodeBatch(media.repartition(3)).collect().sortBy(_.getLong(0))
+    assert(d1.toSeq == d2.toSeq) // partitioning must not change results
+    assert(d1.length == 3)
+    assert(d1.forall(_.getSeq[Float](5).size == 8))
+  }
+
+  test("frame sampling shapes") {
+    import spark.implicits._
+    val docs = Seq((2L, "x" * 300)).toDF("doc_id", "text") // doc_id%3==2 -> video
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    // 300 bytes -> chunks 0..4 (sizes 64,64,64,64,44); stride 2 keeps 0,2,4
+    assert(frames.toSeq == Seq((0, 64), (2, 64), (4, 44)))
+  }
+}
+
+class TrecEvalSpec extends SparkTestBase {
+
+  test("hand-computed ndcg/map/recall/p fixture") {
+    import spark.implicits._
+    val results = Seq(
+      ("q1", "d1", 5.0), ("q1", "dx", 4.0), ("q1", "d2", 3.0),
+      ("q1", "d4", 2.0), ("q1", "d3", 1.0)).toDF("qid", "docId", "score")
+    val qrels = Seq(("q1", "d1", 2), ("q1", "d2", 1), ("q1", "d3", 1))
+      .toDF("qid", "docId", "grade")
+    val m = graft.eval.TrecEval.evaluate(results, qrels, Seq(1, 3), roundTo = 6)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // @1: dcg=3, idcg=3 -> ndcg=1; ap=(1/1)/3; recall=1/3; p=1
+    assert(m(1).getDouble(1) == 1.0)
+    assert(math.abs(m(1).getDouble(2) - 1.0 / 3) < 1e-6)
+    assert(math.abs(m(1).getDouble(3) - 1.0 / 3) < 1e-6)
+    assert(m(1).getDouble(4) == 1.0)
+    // @3: dcg=3 + 1/log2(4)=3.5; idcg=3 + 1/log2(3) + 1/log2(4)
+    val idcg3 = 3.0 + 1.0 / (math.log(3) / math.log(2)) + 0.5
+    assert(math.abs(m(3).getDouble(1) - 3.5 / idcg3) < 1e-5)
+    // ap@3 = (1 + 2/3)/3
+    assert(math.abs(m(3).getDouble(2) - (1.0 + 2.0 / 3) / 3) < 1e-5)
+    assert(math.abs(m(3).getDouble(3) - 2.0 / 3) < 1e-5)
+    assert(math.abs(m(3).getDouble(4) - 2.0 / 3) < 1e-5)
+  }
+}
