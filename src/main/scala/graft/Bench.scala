@@ -1,24 +1,132 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.index.IndexBuilder
+import graft.query.{BM25Index, QueryEngine}
+import graft.util.SynthCorpus
+
+/** Per-round benchmark main (driver contract): prints ONE JSON line.
+  *
+  * Metrics mirror the reference's report math (analysis/combine_results.py:
+  * 123-133 — qps = num_queries/elapsed, dps = num_docs/elapsed including
+  * tokenization) plus the BASELINE.json north-rule evidence:
+  *  - index_dps / query_qps / query p50/p99 latency over the deterministic
+  *    synthetic source-code corpus (input_hint shape), WAND path, k=10;
+  *  - throughput scaling efficiency between two parallelism levels
+  *    (local[8] vs local[32]) on the SAME input — the sandbox stand-in for
+  *    the N vs 4N executor criterion (no real cluster here).
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  * SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (default 120000),
+  * SPARK_GRAFT_SCALING=0 to skip the local[8] pass.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Build + batch-query throughput at one parallelism level. The corpus is
+    * generated distributed and staged as parquet first (untimed), so the
+    * timed build measures scan→tokenize→index exactly as a real table read
+    * would, not driver-side LocalTableScan serialization.
+    */
+  private def bm25Pass(spark: SparkSession, nDocs: Int, nQueryBatch: Int)
+      : (Double, Double, Seq[Double]) = {
+    import spark.implicits._
+    val filesPerRepo = 100
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    spark.range(0, nDocs, 1, spark.sparkContext.defaultParallelism * 2)
+      .as[Long]
+      .map(i => SynthCorpus.docOf((i / filesPerRepo).toInt, (i % filesPerRepo).toInt))
+      .write.parquet(s"$tmp/corpus")
+    val corpus = spark.read.parquet(s"$tmp/corpus")
+      .selectExpr("concat(repo, ':', path, '@', commit) as docId", "content")
+    val dir = s"$tmp/index"
+    val (_, buildSec) = time {
+      IndexBuilder.build(spark, corpus, dir,
+        IndexBuilder.Config(numSegmentGroups = 1, numBuckets = 16))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val idx = new BM25Index(spark, dir)
+
+    val base = SynthCorpus.queries
+    val batch = (0 until nQueryBatch).map { i =>
+      val (qid, q) = base(i % base.size); (f"$qid-rep$i%04d", q)
+    }
+    val qdf = batch.toDF("qid", "query")
+    val (_, querySec) = time { QueryEngine.searchWand(idx, qdf, 10).count() }
+
+    // per-query latency sample (each call = its own Spark jobs; honest
+    // Spark-side latency incl. planning)
+    val lats = base.take(20).map { case (qid, q) =>
+      val one = Seq((qid, q)).toDF("qid", "query")
+      time { QueryEngine.searchWand(idx, one, 10).count() }._2
+    }
+    (nDocs / buildSec, batch.size / querySec, lats)
+  }
+
+  private def pct(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1).max(0))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "120000").toInt
+    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+    val lowCpus = math.max(1, cpus / 4)
+
+    // --- pass 1 (cold JVM): low-parallelism leg first so JIT warmup does
+    // not inflate the high-parallelism leg's baseline.
+    var dps8, qps8 = 0.0
+    if (doScaling) {
+      val s8 = session(lowCpus)
+      bm25Pass(s8, math.max(2000, benchDocs / 10), 50) // warmup (JIT, codegen)
+      val (d, q, _) = bm25Pass(s8, benchDocs, 1200)
+      dps8 = d; qps8 = q
+      s8.stop()
+    }
+
+    // --- pass 2: contract parallelism level.
+    val spark = session(cpus)
+    if (doScaling) bm25Pass(spark, math.max(2000, benchDocs / 10), 50)
+    val (dps32, qps32, lats) = bm25Pass(spark, benchDocs, 1200)
+
+    // driver-contract queries on the sf tables
+    val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val (_, sec) = time {
+          try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        }
+        name -> sec
+    }
     spark.stop()
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val factor = cpus.toDouble / lowCpus
+    val scaleDps = if (doScaling && dps8 > 0) (dps32 / dps8) / factor else -1.0
+    val scaleQps = if (doScaling && qps8 > 0) (qps32 / qps8) / factor else -1.0
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","bm25_bench_docs":$benchDocs,"index_dps":${f"$dps32%.1f"},"query_qps":${f"$qps32%.1f"}""" +
+      s""","query_p50_ms":${f"${pct(lats, 0.5) * 1000}%.1f"},"query_p99_ms":${f"${pct(lats, 0.99) * 1000}%.1f"}""" +
+      s""","scaling":{"cpus_low":$lowCpus,"cpus_high":$cpus,"index_dps_low":${f"$dps8%.1f"},"query_qps_low":${f"$qps8%.1f"}""" +
+      s""","index_eff":${f"$scaleDps%.3f"},"query_eff":${f"$scaleQps%.3f"}}}""")
   }
 }

@@ -2,7 +2,6 @@ package graft.index
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.score.{BM25, BM25Params}
@@ -28,6 +27,7 @@ final case class PostingBlock(
   *   docmap/   (docId STRING, docIntId LONG, salt INT)
   *   segments/ g=<group>/ (docIntId, len, term, tf)      [resumable stage]
   *   docs/     (docIntId LONG, docId STRING, len LONG, salt INT)
+  *   termstats/ (term STRING, df LONG, ctf LONG)
   *   postings/ bucket=<b>/ (term, salt, df, count, maxImpact, blocks)
   *   _commits/ *.json  per-partition-group lineage + metrics
   *   _properties.json  scoring params + global stats (N, avgdl, numTokens)
@@ -45,7 +45,8 @@ final case class PostingBlock(
   *    repeats for committed groups). In a production Iceberg deployment the
   *    groups key off manifest file splits; here they key off hash(docId).
   *  - merge stage shuffles only narrow (term, docIntId, tf, len) rows,
-  *    computes exact global df with one window over term, and eagerly
+  *    computes exact global df with a narrow partial+final hash agg
+  *    (termstats table) joined back onto segment rows, and eagerly
   *    materializes per-posting BM25 impacts (bm25s's core idea) into
   *    delta+varbyte blocks with block-max metadata.
   */
@@ -80,12 +81,19 @@ object IndexBuilder {
     val P = if (cfg.docmapPartitions > 0) cfg.docmapPartitions
             else spark.sparkContext.defaultParallelism
 
+    // A small corpus parquet collapses to one input split (128 MB default
+    // packing), which would serialize tokenization on one task. At real
+    // scale inputs have thousands of splits and this no-ops.
+    val corpusP =
+      if (corpus.rdd.getNumPartitions < P) corpus.repartition(P, col("docId"))
+      else corpus
+
     // ---- stage 0: docmap — deterministic surrogate ids in docId order.
     // Column-pruned scan (only docId); one range shuffle of narrow rows.
     val docmapPath = s"$indexDir/docmap"
     if (!store.committedGroups().contains("docmap")) {
       val s = System.nanoTime()
-      corpus.select(col("docId"))
+      corpus.select(col("docId")) // column-pruned: only docId shuffles here
         .repartitionByRange(P, col("docId"))
         .sortWithinPartitions("docId")
         .withColumn("docIntId", monotonically_increasing_id())
@@ -103,7 +111,7 @@ object IndexBuilder {
     for (g <- 0 until cfg.numSegmentGroups
          if !store.committedGroups().contains(s"seg-$g")) {
       val s = System.nanoTime()
-      val part = corpus.where(
+      val part = corpusP.where(
         pmod(xxhash64(col("docId")), lit(cfg.numSegmentGroups.toLong)) === g)
       val toks = part.join(docmap, "docId")
         .select(col("docIntId"),
@@ -137,10 +145,12 @@ object IndexBuilder {
         Map("stage" -> "docs"), (System.nanoTime() - s) / 1e9))
     }
     val docs = spark.read.parquet(s"$indexDir/docs")
-    val statsRow = docs.agg(count(lit(1)), avg(col("len")), sum(col("len"))).head()
+    val statsRow = docs.agg(count(lit(1)), avg(col("len")), sum(col("len")),
+      countDistinct(col("salt"))).head()
     val numDocs = statsRow.getLong(0)
     val avgdl = if (numDocs == 0 || statsRow.isNullAt(1)) 0.0 else statsRow.getDouble(1)
     val numTokens = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
+    val numSalts = statsRow.getLong(3)
 
     // ---- stage 3: postings — group by (term, salt), global df via one
     // window over term, eager impacts, delta+varbyte blocks.
@@ -170,19 +180,38 @@ object IndexBuilder {
         }
       })
 
+    // stage 3a: narrow per-term stats (exact global df; partial+final hash
+    // agg, so a term in 50% of docs never concentrates on one task).
+    // Persisted: also the query-side term dictionary for diagnostics.
+    if (!store.committedGroups().contains("termstats")) {
+      val s = System.nanoTime()
+      segments.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("ctf"))
+        .write.mode("overwrite").parquet(s"$indexDir/termstats")
+      val n = spark.read.parquet(s"$indexDir/termstats").count()
+      store.commit(PartitionCommit("termstats", Seq("termstats"), n,
+        Map("stage" -> "termstats"), (System.nanoTime() - s) / 1e9))
+    }
+    val termstats = spark.read.parquet(s"$indexDir/termstats")
+
     if (!store.committedGroups().contains("postings")) {
       val s = System.nanoTime()
+      // df joins onto NARROW segment rows (AQE skew-split handles giant
+      // terms), then the array build groups by (term, salt) — every group
+      // bounded by the salt width, never by a term's full df. The previous
+      // design (window over term AFTER collect_list) would have colocated a
+      // high-df term's entire posting payload on one task.
       val grouped = segments
         .withColumn("salt", saltOf(col("docIntId")))
+        .join(termstats.select("term", "df"), "term")
         .groupBy("term", "salt")
         .agg(
           collect_list(col("docIntId")).as("pids"),
           collect_list(col("tf")).as("ptfs"),
           collect_list(col("len")).as("plens"),
-          count(lit(1)).as("partialDf"))
-      val withDf = grouped.withColumn("df",
-        sum("partialDf").over(Window.partitionBy("term")))
-      withDf
+          count(lit(1)).as("partialDf"),
+          first(col("df")).as("df"))
+      grouped
         .withColumn("blocks",
           encodeBlocks(col("pids"), col("ptfs"), col("plens"), col("df")))
         .withColumn("bucket", bucketOf(col("term"), cfg.numBuckets))
@@ -208,6 +237,7 @@ object IndexBuilder {
       "numDocs" -> numDocs.toString, "avgdl" -> avgdl.toString,
       "numTokens" -> numTokens.toString,
       "numBuckets" -> cfg.numBuckets.toString,
+      "numSalts" -> numSalts.toString,
       "saltShift" -> SaltShift.toString,
       "buildElapsedSec" -> ((System.nanoTime() - t0) / 1e9).toString))
     store

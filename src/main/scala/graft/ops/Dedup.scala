@@ -55,15 +55,12 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature (m permutations) of a shingle array, as a UDF-free
-    * Column: sig[i] = min over shingles of xxhash64(i-salted shingle).
+  /** MinHash signature (m permutations) of a shingle array — a native
+    * codegen Expression (one xxhash64 per shingle + m mixes, single pass;
+    * the equivalent 32-`transform` Column tree would run interpreted).
     */
   def minhashSignature(shingleCol: Column, m: Int): Column =
-    array((0 until m).map { i =>
-      coalesce(
-        array_min(transform(shingleCol, s => xxhash64(concat(lit(s"mh$i:"), s)))),
-        lit(Long.MaxValue))
-    }: _*)
+    graft.ops.expr.OpsExprs.minhashSig(shingleCol, m)
 
   /** MinHash + LSH banding near-dup candidates, verified by signature
     * similarity. Bands of r rows; docs sharing any band bucket become
@@ -102,17 +99,10 @@ object Dedup {
   }
 
   /** 64-bit SimHash of a token array: per-bit weighted vote of token
-    * hashes. Pure Column expressions (64 bit-sums via aggregate).
+    * xxhash64 bits — native codegen Expression (single pass per row).
     */
-  def simhash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
-    (0 until 64).map { bit =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftrightunsigned(h, bit).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L))
-      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash(tokens: Column): Column =
+    graft.ops.expr.OpsExprs.simhash64(tokens)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked by the
     * pigeonhole principle: split 64 bits into (maxDist+1) chunks — any pair

@@ -27,9 +27,11 @@ import graft.query.{ScoredDoc, TopKAggregator}
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential dot product (native codegen Expression; accepts float or
+    * double arrays, accumulates in double, left-to-right order).
+    */
   def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.ops.expr.OpsExprs.dot(a, b)
 
   def normCol(a: Column): Column = sqrt(dotCol(a, a))
 

@@ -24,6 +24,7 @@ class BM25Index(val spark: SparkSession, val indexDir: String) {
   val numDocs: Long = props("numDocs").toLong
   val avgdl: Double = props("avgdl").toDouble
   val numBuckets: Int = props("numBuckets").toInt
+  val numSalts: Int = props.getOrElse("numSalts", "1").toInt
 
   def postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
   def docs: DataFrame = spark.read.parquet(s"$indexDir/docs")
@@ -126,18 +127,28 @@ object QueryEngine {
     val bq = spark.sparkContext.broadcast(qArr)
     val kk = k
 
+    // Parallelism = salts × query groups. At index scale salts ≫ cores and
+    // G = 1 (no duplication); on a small index (few salts) queries split
+    // into G groups so WAND still fills the cluster — posting rows replicate
+    // G× through the shuffle, bounded by 2·parallelism/salts.
+    val G = math.max(1, math.min(qArr.length,
+      (spark.sparkContext.defaultParallelism * 2 + index.numSalts - 1) /
+        math.max(1, index.numSalts)))
     val cand = candidates(index, terms)
       .select(col("term"), col("salt"), col("maxImpact"), col("blocks"))
-      .repartition(col("salt"))
+      .crossJoin(broadcast(spark.range(G).select(col("id").cast("int").as("qgrp"))))
+      .repartition(col("salt"), col("qgrp"))
 
     implicit val enc = Encoders.product[(String, Long, Double)]
     val partials = cand.mapPartitions { rows =>
-      // rows: postings of query terms, several salts per task
-      val bySalt = rows.toSeq.groupBy(_.getInt(1))
-      bySalt.iterator.flatMap { case (_, srows) =>
+      // rows: postings of query terms, several (salt, qgrp) runs per task
+      val byRun = rows.toSeq.groupBy(r => (r.getInt(1), r.getInt(4)))
+      byRun.iterator.flatMap { case ((_, qgrp), srows) =>
         val byTerm: Map[String, Row] = srows.map(r => r.getString(0) -> r).toMap
         bq.value.iterator.flatMap { case (qid, qterms) =>
-          Wand.topkForQuery(qid, qterms, byTerm, kk)
+          if (math.floorMod(qid.hashCode, G) == qgrp)
+            Wand.topkForQuery(qid, qterms, byTerm, kk)
+          else Iterator.empty
         }
       }
     }.toDF("qid", "docIntId", "score")
@@ -155,55 +166,68 @@ object QueryEngine {
 
 /** Document-at-a-time WAND with block-max skipping over one salt's posting
   * runs (decoded lazily per block). Pure JVM — runs inside mapPartitions.
+  *
+  * Hot-loop engineering (this is the analogue of the reference's numba /
+  * PISA C++ kernels, benchmark/on_bm25s.py:144-150, on_pisa.py:51):
+  * block metadata is unpacked once into primitive arrays (no Row field
+  * lookups in the skip loop), and the cursor ordering is maintained
+  * incrementally (bounded insertion-sort passes) instead of re-sorting and
+  * re-allocating per document step.
   */
 object Wand {
 
-  /** Cursor over one (term,salt) posting run. Blocks decode lazily; skipping
-    * to a target docId never decodes blocks whose `last < target`.
+  /** One (term,salt) posting run, unpacked from its Row once. Blocks decode
+    * lazily; skipping to a target docId never decodes blocks whose
+    * `last < target`.
     */
-  private final class Cursor(val qtf: Double, val ubTotal: Double, blocks: Seq[Row]) {
-    private var bi = -1
+  final class Cursor(val qtf: Double, val ubTotal: Double,
+                     firsts: Array[Long], lasts: Array[Long],
+                     maxs: Array[Float], ns: Array[Int],
+                     idBytes: Array[Array[Byte]], impBytes: Array[Array[Byte]]) {
+    private val nBlocks = firsts.length
+    private var bi = 0
     private var ids: Array[Long] = null
     private var imps: Array[Float] = null
     private var pos = 0
-    nextBlock()
+    var curDoc: Long = if (nBlocks > 0) firsts(0) else Long.MaxValue
+    private var decoded = false
 
-    private def nextBlock(): Unit = {
-      bi += 1
-      if (bi < blocks.length) {
-        val b = blocks(bi)
-        ids = Codec.decodeDeltaVarByte(b.getAs[Array[Byte]]("ids"), b.getAs[Int]("n"))
-        imps = Codec.decodeFloats(b.getAs[Array[Byte]]("imps"))
+    @inline def exhausted: Boolean = bi >= nBlocks
+
+    @inline private def decodeCur(): Unit = {
+      if (!decoded) {
+        ids = Codec.decodeDeltaVarByte(idBytes(bi), ns(bi))
+        imps = Codec.decodeFloats(impBytes(bi))
         pos = 0
-      } else { ids = null; imps = null }
+        decoded = true
+      }
     }
 
-    def exhausted: Boolean = ids == null
-    def curDoc: Long = if (exhausted) Long.MaxValue else ids(pos)
-    def curContrib: Double = imps(pos) * qtf
+    def curContrib: Double = { decodeCur(); imps(pos) * qtf }
     /** max impact of the current block × qtf (block-max refinement). */
-    def curBlockUb: Double =
-      if (exhausted) 0.0 else blocks(bi).getAs[Float]("max") * qtf
+    def curBlockUb: Double = if (exhausted) 0.0 else maxs(bi) * qtf
 
     def advance(): Unit = {
       if (exhausted) return
+      decodeCur()
       pos += 1
-      if (pos >= ids.length) nextBlock()
+      if (pos >= ids.length) {
+        bi += 1; decoded = false
+        curDoc = if (bi < nBlocks) firsts(bi) else Long.MaxValue
+      } else curDoc = ids(pos)
     }
 
     /** Skip to first doc >= target without decoding skipped blocks. */
     def advanceTo(target: Long): Unit = {
       if (exhausted || curDoc >= target) return
-      // skip whole blocks via metadata
-      while (bi < blocks.length && blocks(bi).getAs[Long]("last") < target) bi += 1
-      if (bi >= blocks.length) { ids = null; imps = null; return }
-      // (re)decode current block if we moved past the decoded one
-      val b = blocks(bi)
-      if (ids == null || ids.length != b.getAs[Int]("n") || ids(0) != b.getAs[Long]("first")) {
-        ids = Codec.decodeDeltaVarByte(b.getAs[Array[Byte]]("ids"), b.getAs[Int]("n"))
-        imps = Codec.decodeFloats(b.getAs[Array[Byte]]("imps"))
-        pos = 0
+      // skip whole blocks via metadata (primitive array reads)
+      if (lasts(bi) < target) {
+        decoded = false
+        while (bi < nBlocks && lasts(bi) < target) bi += 1
+        if (bi >= nBlocks) { curDoc = Long.MaxValue; return }
+        if (firsts(bi) >= target) { curDoc = firsts(bi); return }
       }
+      decodeCur()
       // binary search within block
       var lo = pos; var hi = ids.length
       while (lo < hi) {
@@ -211,67 +235,100 @@ object Wand {
         if (ids(mid) < target) lo = mid + 1 else hi = mid
       }
       pos = lo
-      if (pos >= ids.length) nextBlock()
+      if (pos >= ids.length) {
+        bi += 1; decoded = false
+        curDoc = if (bi < nBlocks) firsts(bi) else Long.MaxValue
+      } else curDoc = ids(pos)
     }
   }
 
-  /** Top-k for one query over one salt's term→postings map. Emits up to k
-    * (qid, docIntId, score) candidates (merged globally by TopKAggregator).
+  /** Unpack a postings Row (term, salt, df, count, maxImpact, blocks) into a
+    * Cursor for the given query-term weight.
+    */
+  def cursorOf(r: Row, qtf: Double): Cursor = {
+    val maxImpact = r.getAs[Float]("maxImpact")
+    val blocks = r.getSeq[Row](r.fieldIndex("blocks"))
+    val nb = blocks.length
+    val firsts = new Array[Long](nb); val lasts = new Array[Long](nb)
+    val maxs = new Array[Float](nb); val ns = new Array[Int](nb)
+    val idB = new Array[Array[Byte]](nb); val impB = new Array[Array[Byte]](nb)
+    var i = 0
+    while (i < nb) {
+      val b = blocks(i)
+      firsts(i) = b.getLong(0); lasts(i) = b.getLong(1)
+      maxs(i) = b.getFloat(2); ns(i) = b.getInt(3)
+      idB(i) = b.getAs[Array[Byte]](4); impB(i) = b.getAs[Array[Byte]](5)
+      i += 1
+    }
+    new Cursor(qtf, maxImpact * qtf, firsts, lasts, maxs, ns, idB, impB)
+  }
+
+  /** Top-k for one query over one salt's term→cursor-factory map. Emits up
+    * to k (qid, docIntId, score) candidates (merged by TopKAggregator).
     */
   def topkForQuery(qid: String, qterms: Array[(String, Double)],
                    byTerm: Map[String, Row], k: Int): Iterator[(String, Long, Double)] = {
-    val cursors: Array[Cursor] = qterms.flatMap { case (t, qtf) =>
-      byTerm.get(t).map { r =>
-        val maxImpact = r.getAs[Float]("maxImpact")
-        new Cursor(qtf, maxImpact * qtf, r.getSeq[Row](r.fieldIndex("blocks")))
-      }
+    val cs: Array[Cursor] = qterms.flatMap { case (t, qtf) =>
+      byTerm.get(t).map(r => cursorOf(r, qtf))
     }
-    if (cursors.isEmpty) return Iterator.empty
+    if (cs.isEmpty) return Iterator.empty
 
     val agg = new TopKAggregator(k)
     val heap = agg.zero
-    var live = cursors.filterNot(_.exhausted)
+    var live = 0
 
-    while (live.nonEmpty) {
-      val sorted = live.sortBy(_.curDoc)
+    /** keep cs sorted by curDoc (exhausted cursors sink to the end): plain
+      * insertion sort — O(m) when nearly sorted, m = #query terms, zero
+      * allocation per document step (unlike a per-iteration sortBy).
+      */
+    def resort(): Unit = {
+      var i = 1
+      while (i < cs.length) {
+        val c = cs(i); val d = c.curDoc
+        var j = i - 1
+        while (j >= 0 && cs(j).curDoc > d) { cs(j + 1) = cs(j); j -= 1 }
+        cs(j + 1) = c
+        i += 1
+      }
+      live = cs.length
+      while (live > 0 && cs(live - 1).curDoc == Long.MaxValue) live -= 1
+    }
+    resort()
+
+    while (live > 0) {
       val threshold = if (heap.size < k) Double.NegativeInfinity else heap.scores(0)
       // pivot: first prefix whose summed upper bounds exceed the threshold
       var acc = 0.0; var pi = 0; var found = -1
-      while (pi < sorted.length && found < 0) {
-        acc += sorted(pi).ubTotal
+      while (pi < live && found < 0) {
+        acc += cs(pi).ubTotal
         if (acc > threshold) found = pi
         pi += 1
       }
       if (found < 0) return drain(qid, agg, heap) // no doc can beat threshold
-      val pivotDoc = sorted(found).curDoc
-      if (pivotDoc == Long.MaxValue) return drain(qid, agg, heap)
+      val pivotDoc = cs(found).curDoc
 
-      if (sorted(0).curDoc == pivotDoc) {
+      if (cs(0).curDoc == pivotDoc) {
         // all cursors 0..found sit on pivotDoc: block-max refinement, then
         // full evaluation
         var blockUb = 0.0
         var i = 0
-        while (i < sorted.length && sorted(i).curDoc == pivotDoc) {
-          blockUb += sorted(i).curBlockUb; i += 1
-        }
+        while (i < live && cs(i).curDoc == pivotDoc) { blockUb += cs(i).curBlockUb; i += 1 }
+        val onPivot = i
         if (blockUb > threshold) {
           var score = 0.0
           i = 0
-          while (i < sorted.length && sorted(i).curDoc == pivotDoc) {
-            score += sorted(i).curContrib; i += 1
-          }
+          while (i < onPivot) { score += cs(i).curContrib; i += 1 }
           agg.insert(heap, pivotDoc, score)
         }
         i = 0
-        while (i < sorted.length && sorted(i).curDoc == pivotDoc) {
-          sorted(i).advance(); i += 1
-        }
+        while (i < onPivot) { cs(i).advance(); i += 1 }
+        resort()
       } else {
         // advance lagging cursors up to the pivot
         var i = 0
-        while (i < found) { sorted(i).advanceTo(pivotDoc); i += 1 }
+        while (i < found) { cs(i).advanceTo(pivotDoc); i += 1 }
+        resort()
       }
-      live = live.filterNot(_.exhausted)
     }
     drain(qid, agg, heap)
   }

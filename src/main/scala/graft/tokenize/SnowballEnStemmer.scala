@@ -15,8 +15,6 @@ object SnowballEnStemmer {
 
   private val vowels = "aeiouy"
   @inline private def isVowel(c: Char): Boolean = vowels.indexOf(c) >= 0
-  private val doubles =
-    Set("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
   private val liEnding = "cdeghkmnrt"
 
   private val exceptions1: Map[String, String] = Map(
@@ -29,6 +27,22 @@ object SnowballEnStemmer {
   private val exceptions2: Set[String] = Set(
     "inning", "outing", "canning", "herring", "earring",
     "proceed", "exceed", "succeed")
+
+  // Step-2 suffix table, longest-first (static — allocated once, not per
+  // call). Codes: how to rewrite once the suffix matched in R1.
+  private val step2Suffixes: Array[String] = Array(
+    "ization", "ational", "fulness", "ousness", "iveness", "tional",
+    "biliti", "lessli", "entli", "ation", "alism", "aliti", "ousli",
+    "iviti", "fulli", "enci", "anci", "abli", "izer", "ator", "alli",
+    "bli", "ogi", "li")
+
+  private val step3Suffixes: Array[String] = Array(
+    "ational", "tional", "alize", "icate", "iciti", "ative", "ical",
+    "ness", "ful")
+
+  private val step4Suffixes: Array[String] = Array(
+    "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent",
+    "ism", "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic")
 
   /** Stem one already-lowercased token. Thread-safe, allocation-light. */
   def stem(word0: String): String = {
@@ -55,8 +69,9 @@ object SnowballEnStemmer {
 
     def computeR1(s: String): Int = {
       // gener-, commun-, arsen- prefix exception
-      for (p <- Seq("gener", "commun", "arsen"))
-        if (s.startsWith(p)) return p.length
+      if (s.startsWith("gener")) return 5
+      if (s.startsWith("commun")) return 6
+      if (s.startsWith("arsen")) return 5
       var j = 0
       while (j < s.length && !isVowel(s.charAt(j))) j += 1
       while (j < s.length && isVowel(s.charAt(j))) j += 1
@@ -117,14 +132,19 @@ object SnowballEnStemmer {
       val sl = if (eedly) 5 else 3
       if (inR1(w, sl)) w = w.dropRight(sl) + "ee"
     } else {
-      val sfx = Seq("ingly", "edly", "ing", "ed").find(w.endsWith)
-      sfx.foreach { s =>
-        if (containsVowel(w, 0, w.length - s.length)) {
-          w = w.dropRight(s.length)
-          if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz")) w += "e"
-          else if (w.length >= 2 && doubles.contains(w.takeRight(2))) w = w.dropRight(1)
-          else if (isShortWord(w)) w += "e"
-        }
+      val sl =
+        if (w.endsWith("ingly")) 5
+        else if (w.endsWith("edly")) 4
+        else if (w.endsWith("ing")) 3
+        else if (w.endsWith("ed")) 2
+        else 0
+      if (sl > 0 && containsVowel(w, 0, w.length - sl)) {
+        w = w.dropRight(sl)
+        val n = w.length
+        if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz")) w += "e"
+        else if (n >= 2 && w.charAt(n - 1) == w.charAt(n - 2) &&
+          "bdfgmnprt".indexOf(w.charAt(n - 1)) >= 0) w = w.dropRight(1)
+        else if (isShortWord(w)) w += "e"
       }
     }
 
@@ -136,53 +156,52 @@ object SnowballEnStemmer {
         w = w.dropRight(1) + "i"
     }
 
-    // ---- Step 2 (longest suffix, condition: in R1)
+    // ---- Step 2 (longest suffix, condition: in R1; table is static and
+    // pre-sorted longest-first — no per-call allocation)
     {
-      val rules: Seq[(String, String => String)] = Seq(
-        "ization" -> (s => s.dropRight(7) + "ize"),
-        "ational" -> (s => s.dropRight(7) + "ate"),
-        "fulness" -> (s => s.dropRight(4)),
-        "ousness" -> (s => s.dropRight(4)),
-        "iveness" -> (s => s.dropRight(4)),
-        "tional" -> (s => s.dropRight(2)),
-        "biliti" -> (s => s.dropRight(6) + "ble"),
-        "lessli" -> (s => s.dropRight(2)),
-        "entli" -> (s => s.dropRight(2)),
-        "ation" -> (s => s.dropRight(5) + "ate"),
-        "alism" -> (s => s.dropRight(3)),
-        "aliti" -> (s => s.dropRight(3)),
-        "ousli" -> (s => s.dropRight(2)),
-        "iviti" -> (s => s.dropRight(5) + "ive"),
-        "fulli" -> (s => s.dropRight(2)),
-        "enci" -> (s => s.dropRight(4) + "ence"),
-        "anci" -> (s => s.dropRight(4) + "ance"),
-        "abli" -> (s => s.dropRight(4) + "able"),
-        "izer" -> (s => s.dropRight(1)),
-        "ator" -> (s => s.dropRight(4) + "ate"),
-        "alli" -> (s => s.dropRight(2)),
-        "bli" -> (s => s.dropRight(3) + "ble"),
-        "ogi" -> identity, // special: only if preceded by l
-        "li" -> identity // special: valid li-ending
-      )
-      // longest matching suffix wins; apply only if in R1
-      val hit = rules.sortBy(-_._1.length).find { case (sfx, _) => w.endsWith(sfx) }
-      hit.foreach { case (sfx, f) =>
-        if (inR1(w, sfx.length)) {
-          if (sfx == "ogi") {
-            if (w.length > 3 && w.charAt(w.length - 4) == 'l') w = w.dropRight(1)
-          } else if (sfx == "li") {
-            if (w.length > 2 && liEnding.indexOf(w.charAt(w.length - 3)) >= 0)
-              w = w.dropRight(2)
-          } else w = f(w)
-        }
+      var hi = 0
+      var hit: String = null
+      while (hi < step2Suffixes.length && hit == null) {
+        if (w.endsWith(step2Suffixes(hi))) hit = step2Suffixes(hi)
+        hi += 1
+      }
+      if (hit != null && inR1(w, hit.length)) hit match {
+        case "ization" => w = w.dropRight(7) + "ize"
+        case "ational" => w = w.dropRight(7) + "ate"
+        case "fulness" | "ousness" | "iveness" => w = w.dropRight(4)
+        case "tional" => w = w.dropRight(2)
+        case "biliti" => w = w.dropRight(6) + "ble"
+        case "lessli" => w = w.dropRight(2)
+        case "entli" => w = w.dropRight(2)
+        case "ation" => w = w.dropRight(5) + "ate"
+        case "alism" | "aliti" => w = w.dropRight(3)
+        case "ousli" => w = w.dropRight(2)
+        case "iviti" => w = w.dropRight(5) + "ive"
+        case "fulli" => w = w.dropRight(2)
+        case "enci" => w = w.dropRight(4) + "ence"
+        case "anci" => w = w.dropRight(4) + "ance"
+        case "abli" => w = w.dropRight(4) + "able"
+        case "izer" => w = w.dropRight(1)
+        case "ator" => w = w.dropRight(4) + "ate"
+        case "alli" => w = w.dropRight(2)
+        case "bli" => w = w.dropRight(3) + "ble"
+        case "ogi" =>
+          if (w.length > 3 && w.charAt(w.length - 4) == 'l') w = w.dropRight(1)
+        case "li" =>
+          if (w.length > 2 && liEnding.indexOf(w.charAt(w.length - 3)) >= 0)
+            w = w.dropRight(2)
       }
     }
 
     // ---- Step 3 (longest suffix, in R1)
     {
-      val hit = Seq("ational", "tional", "alize", "icate", "iciti",
-        "ative", "ical", "ness", "ful").find(w.endsWith)
-      hit.foreach { sfx =>
+      var hi = 0
+      var hit0: String = null
+      while (hi < step3Suffixes.length && hit0 == null) {
+        if (w.endsWith(step3Suffixes(hi))) hit0 = step3Suffixes(hi)
+        hi += 1
+      }
+      Option(hit0).foreach { sfx =>
         if (inR1(w, sfx.length)) sfx match {
           case "ational" => w = w.dropRight(7) + "ate"
           case "tional" => w = w.dropRight(2)
@@ -195,13 +214,15 @@ object SnowballEnStemmer {
       }
     }
 
-    // ---- Step 4 (longest suffix, in R2)
+    // ---- Step 4 (longest suffix, in R2; static longest-first table)
     {
-      val suffixes = Seq("ement", "ance", "ence", "able", "ible", "ment",
-        "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize", "ion",
-        "al", "er", "ic")
-      val hit = suffixes.sortBy(-_.length).find(w.endsWith)
-      hit.foreach { sfx =>
+      var hi = 0
+      var hit0: String = null
+      while (hi < step4Suffixes.length && hit0 == null) {
+        if (w.endsWith(step4Suffixes(hi))) hit0 = step4Suffixes(hi)
+        hi += 1
+      }
+      Option(hit0).foreach { sfx =>
         if (inR2(w, sfx.length)) {
           if (sfx == "ion") {
             val prev = w.charAt(w.length - 4)
