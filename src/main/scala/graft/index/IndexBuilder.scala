@@ -66,12 +66,72 @@ object IndexBuilder {
   def saltOf(docIntId: Column): Column =
     shiftrightunsigned(docIntId, SaltShift).cast(IntegerType)
 
+  /** Posting-run encoder: (docIntIds, tfs, lens, df) → (maxImpact, blocks).
+    * Sorts the run by docIntId, materializes eager BM25 impacts (the bm25s
+    * strategy, benchmark/on_bm25s.py:124-129), packs delta+varbyte blocks
+    * with block-max metadata. Returns max and blocks in ONE invocation and
+    * is marked nondeterministic so CollapseProject cannot inline it into
+    * multiple downstream uses and re-run the encoder per reference (the
+    * value is in fact deterministic).
+    */
+  def blockEncoderUdf(p: BM25Params, numDocs: Long, avgdl: Double) = udf(
+    (ids0: Seq[Long], tfs0: Seq[Long], lens0: Seq[Long], df: Long) => {
+      // the three collect_lists share row order within the group; copy to
+      // primitive arrays, then sort jointly by docIntId for delta encoding
+      val n = ids0.length
+      val ids = new Array[Long](n)
+      val tfs = new Array[Long](n)
+      val lens = new Array[Long](n)
+      locally {
+        var i = 0
+        val it0 = ids0.iterator; val it1 = tfs0.iterator; val it2 = lens0.iterator
+        while (i < n) { ids(i) = it0.next(); tfs(i) = it1.next(); lens(i) = it2.next(); i += 1 }
+      }
+      val order: Array[Int] = Array.tabulate(n)(identity).sortBy(j => ids(j))
+      val sIds = new Array[Long](n)
+      val imps = new Array[Float](n)
+      var maxImp = Float.MinValue
+      var i = 0
+      while (i < n) {
+        val j = order(i)
+        sIds(i) = ids(j)
+        val imp = BM25.Scalar
+          .impact(p, tfs(j).toDouble, df, lens(j), numDocs, avgdl).toFloat
+        imps(i) = imp
+        if (imp > maxImp) maxImp = imp
+        i += 1
+      }
+      val nBlocks = (n + Codec.BlockSize - 1) / Codec.BlockSize
+      val blocks = (0 until nBlocks).map { b =>
+        val from = b * Codec.BlockSize
+        val until = math.min(from + Codec.BlockSize, n)
+        val bIds = java.util.Arrays.copyOfRange(sIds, from, until)
+        val bImps = java.util.Arrays.copyOfRange(imps, from, until)
+        PostingBlock(bIds.head, bIds.last, bImps.max, bIds.length,
+          Codec.encodeDeltaVarByte(bIds), Codec.encodeFloats(bImps))
+      }
+      (maxImp, blocks)
+    }).asNondeterministic()
+
   def bucketOf(term: Column, numBuckets: Int): Column =
     pmod(xxhash64(term), lit(numBuckets.toLong)).cast(IntegerType)
 
   /** Build (or resume) the index for a corpus of (docId STRING, content
     * STRING) rows. Returns the store handle.
     */
+  /** Overwrite-write `df` as parquet and return its row count, captured by
+    * an Observation INSIDE the write job — no separate count job, no
+    * re-read of what was just written (each saved job is a full barrier).
+    */
+  private def writeCounted(df: DataFrame, path: String,
+                           partitionCols: Seq[String] = Nil): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    val w = df.observe(obs, count(lit(1)).as("n")).write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+    obs.get("n").asInstanceOf[Long]
+  }
+
   def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
             cfg: Config = Config()): IcebergLikeStore = {
     val store = new IcebergLikeStore(indexDir)
@@ -93,13 +153,13 @@ object IndexBuilder {
     val docmapPath = s"$indexDir/docmap"
     if (!store.committedGroups().contains("docmap")) {
       val s = System.nanoTime()
-      corpus.select(col("docId")) // column-pruned: only docId shuffles here
-        .repartitionByRange(P, col("docId"))
-        .sortWithinPartitions("docId")
-        .withColumn("docIntId", monotonically_increasing_id())
-        .withColumn("salt", saltOf(col("docIntId")))
-        .write.mode("overwrite").parquet(docmapPath)
-      val n = spark.read.parquet(docmapPath).count()
+      val n = writeCounted(
+        corpus.select(col("docId")) // column-pruned: only docId shuffles here
+          .repartitionByRange(P, col("docId"))
+          .sortWithinPartitions("docId")
+          .withColumn("docIntId", monotonically_increasing_id())
+          .withColumn("salt", saltOf(col("docIntId"))),
+        docmapPath)
       store.commit(PartitionCommit("docmap", Seq("docmap"), n,
         Map("stage" -> "docmap"), (System.nanoTime() - s) / 1e9))
     }
@@ -113,15 +173,18 @@ object IndexBuilder {
       val s = System.nanoTime()
       val part = corpusP.where(
         pmod(xxhash64(col("docId")), lit(cfg.numSegmentGroups.toLong)) === g)
-      val toks = part.join(docmap, "docId")
+      // shuffle-hash join, never sort-merge: SMJ would SORT the full
+      // content payload by docId; hash join only shuffles it (planner
+      // still picks broadcast when docmap fits under the threshold)
+      val toks = part.join(docmap.hint("shuffle_hash"), "docId")
         .select(col("docIntId"),
           Tokenizer.tokens(col("content"), cfg.tokenPattern).as("toks"))
-      toks
-        .select(col("docIntId"), size(col("toks")).cast(LongType).as("len"),
-          explode(col("toks")).as("term"))
-        .groupBy("docIntId", "len", "term").agg(count(lit(1)).as("tf"))
-        .write.mode("overwrite").parquet(s"$segBase/g=$g")
-      val rows = spark.read.parquet(s"$segBase/g=$g").count()
+      val rows = writeCounted(
+        toks
+          .select(col("docIntId"), size(col("toks")).cast(LongType).as("len"),
+            explode(col("toks")).as("term"))
+          .groupBy("docIntId", "len", "term").agg(count(lit(1)).as("tf")),
+        s"$segBase/g=$g")
       store.commit(PartitionCommit(s"seg-$g", Seq(s"segments/g=$g"), rows,
         Map("stage" -> "segments", "group" -> g.toString),
         (System.nanoTime() - s) / 1e9))
@@ -129,18 +192,22 @@ object IndexBuilder {
         throw new IllegalStateException(s"injected failure after group $g (test hook)")
     }
 
+    // Three downstream stages consume segments (docs, termstats, postings):
+    // cache it instead of re-reading/decoding parquet three times. Spills
+    // to disk when it exceeds memory, so this is scale-safe.
     val segments = spark.read.parquet(segBase)
       .select("docIntId", "len", "term", "tf") // drop partition col g
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- stage 2: docs table (docId, len) + global stats.
     if (!store.committedGroups().contains("docs")) {
       val s = System.nanoTime()
       val lens = segments.groupBy("docIntId").agg(sum("tf").as("len"))
-      docmap.join(lens, Seq("docIntId"), "left")
-        .select(col("docIntId"), col("docId"),
-          coalesce(col("len"), lit(0L)).as("len"), col("salt"))
-        .write.mode("overwrite").parquet(s"$indexDir/docs")
-      val n = spark.read.parquet(s"$indexDir/docs").count()
+      val n = writeCounted(
+        docmap.join(lens, Seq("docIntId"), "left")
+          .select(col("docIntId"), col("docId"),
+            coalesce(col("len"), lit(0L)).as("len"), col("salt")),
+        s"$indexDir/docs")
       store.commit(PartitionCommit("docs", Seq("docs"), n,
         Map("stage" -> "docs"), (System.nanoTime() - s) / 1e9))
     }
@@ -152,43 +219,20 @@ object IndexBuilder {
     val numTokens = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
     val numSalts = statsRow.getLong(3)
 
-    // ---- stage 3: postings — group by (term, salt), global df via one
-    // window over term, eager impacts, delta+varbyte blocks.
+    // ---- stage 3: postings — group by (term, salt), global df from the
+    // narrow termstats agg, eager impacts, delta+varbyte blocks.
     val p = cfg.params
-    val encodeBlocks = udf(
-      (ids0: Seq[Long], tfs0: Seq[Long], lens0: Seq[Long], df: Long) => {
-        // the three collect_lists share row order within the group; sort
-        // jointly by docIntId for delta encoding
-        val order = ids0.indices.sortBy(ids0)
-        val ids = order.map(ids0).toArray
-        val imps = new Array[Float](ids.length)
-        var i = 0
-        while (i < imps.length) {
-          val j = order(i)
-          imps(i) = BM25.Scalar
-            .impact(p, tfs0(j).toDouble, df, lens0(j), numDocs, avgdl).toFloat
-          i += 1
-        }
-        val nBlocks = (ids.length + Codec.BlockSize - 1) / Codec.BlockSize
-        (0 until nBlocks).map { b =>
-          val from = b * Codec.BlockSize
-          val until = math.min(from + Codec.BlockSize, ids.length)
-          val bIds = java.util.Arrays.copyOfRange(ids, from, until)
-          val bImps = java.util.Arrays.copyOfRange(imps, from, until)
-          PostingBlock(bIds.head, bIds.last, bImps.max, bIds.length,
-            Codec.encodeDeltaVarByte(bIds), Codec.encodeFloats(bImps))
-        }
-      })
+    val encodeBlocks = blockEncoderUdf(p, numDocs, avgdl)
 
     // stage 3a: narrow per-term stats (exact global df; partial+final hash
     // agg, so a term in 50% of docs never concentrates on one task).
     // Persisted: also the query-side term dictionary for diagnostics.
     if (!store.committedGroups().contains("termstats")) {
       val s = System.nanoTime()
-      segments.groupBy("term")
-        .agg(count(lit(1)).as("df"), sum("tf").as("ctf"))
-        .write.mode("overwrite").parquet(s"$indexDir/termstats")
-      val n = spark.read.parquet(s"$indexDir/termstats").count()
+      val n = writeCounted(
+        segments.groupBy("term")
+          .agg(count(lit(1)).as("df"), sum("tf").as("ctf")),
+        s"$indexDir/termstats")
       store.commit(PartitionCommit("termstats", Seq("termstats"), n,
         Map("stage" -> "termstats"), (System.nanoTime() - s) / 1e9))
     }
@@ -211,23 +255,26 @@ object IndexBuilder {
           collect_list(col("len")).as("plens"),
           count(lit(1)).as("partialDf"),
           first(col("df")).as("df"))
-      grouped
-        .withColumn("blocks",
-          encodeBlocks(col("pids"), col("ptfs"), col("plens"), col("df")))
-        .withColumn("bucket", bucketOf(col("term"), cfg.numBuckets))
-        .select(col("term"), col("salt"), col("df"),
-          col("partialDf").cast(IntegerType).as("count"),
-          aggregate(col("blocks"), lit(Float.MinValue),
-            (acc, b) => greatest(acc, b.getField("max"))).as("maxImpact"),
-          col("blocks"), col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("bucket").parquet(s"$indexDir/postings")
-      val rows = spark.read.parquet(s"$indexDir/postings").count()
+      val rows = writeCounted(
+        grouped
+          .withColumn("enc",
+            encodeBlocks(col("pids"), col("ptfs"), col("plens"), col("df")))
+          .select(col("term"), col("salt"), col("df"),
+            col("partialDf").cast(IntegerType).as("count"),
+            col("enc._1").as("maxImpact"),
+            col("enc._2").as("blocks"),
+            bucketOf(col("term"), cfg.numBuckets).as("bucket"))
+          // one shuffled task per bucket dir: single sorted file per bucket,
+          // no per-task dynamic-partition sort / open-writer fan-out
+          .repartition(col("bucket"))
+          .sortWithinPartitions("term", "salt"),
+        s"$indexDir/postings", partitionCols = Seq("bucket"))
       store.commit(PartitionCommit("postings", Seq("postings"), rows,
         Map("stage" -> "postings", "buckets" -> cfg.numBuckets.toString),
         (System.nanoTime() - s) / 1e9))
     }
 
+    segments.unpersist(blocking = false)
     store.writeProperties(Map(
       "engine" -> "graft-bm25",
       "method" -> p.method, "k1" -> p.k1.toString, "b" -> p.b.toString,

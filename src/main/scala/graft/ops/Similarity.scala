@@ -22,8 +22,8 @@ import graft.query.{ScoredDoc, TopKAggregator}
   *    scale path when the corpus no longer admits a full scan; `probes`
   *    multi-probe (flipping low bits) trades compute for recall.
   *
-  * All math in double (`zip_with` + `aggregate` fold — sequential, order-
-  * deterministic), codegen'd Column expressions, no UDFs.
+  * All math in double (sequential, order-deterministic) via the native
+  * codegen dot-product Expression (graft.ops.expr.OpsExprs), no UDFs.
   */
 object Similarity {
 

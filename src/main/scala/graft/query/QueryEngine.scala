@@ -27,7 +27,16 @@ class BM25Index(val spark: SparkSession, val indexDir: String) {
   val numSalts: Int = props.getOrElse("numSalts", "1").toInt
 
   def postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
-  def docs: DataFrame = spark.read.parquet(s"$indexDir/docs")
+
+  /** docs dimension (docIntId → docId, len): cached MEMORY_AND_DISK — it is
+    * re-read by every query's finish join (spills to disk if the corpus is
+    * too large to pin, so this stays safe at scale).
+    */
+  lazy val docs: DataFrame = {
+    val d = spark.read.parquet(s"$indexDir/docs")
+    d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d
+  }
 }
 
 /** Batch top-k retrieval over a BM25Index. Two physical paths, cross-checked

@@ -43,27 +43,34 @@ object Tokenizer {
     */
   val AsciiTokenPattern = "[a-z0-9_]{2,}"
 
-  /** T1+T2: lowercase and split. Returns ArrayType(StringType). */
+  private def kernel(content: Column, pattern: String,
+                     removeStop: Boolean, stem: Boolean): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.toColumn(graft.tokenize.expr.TokenizeExpr(
+      bridge.toExpression(content), pattern, removeStop, stem))
+  }
+
+  /** T1+T2: lowercase and split. Returns ArrayType(StringType). All three
+    * pipeline entry points compile to ONE native single-pass expression
+    * (TokenizeExpr) — the equivalent `filter`/`transform` higher-order
+    * Columns are CodegenFallback (interpreted) and dominated the build.
+    */
   def splitTokens(content: Column, pattern: String = TokenPattern): Column =
-    regexp_extract_all(lower(content), lit(pattern), lit(0))
+    kernel(content, pattern, removeStop = false, stem = false)
 
   /** T3: drop stopwords (applied to unstemmed lowercase tokens, as the
-    * reference does at utils/__init__.py:88-90). 33 literals => an `In`
-    * expression, whole-stage codegen'd.
+    * reference does at utils/__init__.py:88-90).
     */
   def removeStopwords(tokens: Column): Column =
     filter(tokens, t => !t.isInCollection(StopwordsEn))
 
   /** T1-T3 (no stemming). */
   def tokensNoStem(content: Column, pattern: String = TokenPattern): Column =
-    removeStopwords(splitTokens(content, pattern))
+    kernel(content, pattern, removeStop = true, stem = false)
 
-  /** Full T1-T5 pipeline: lower, split, stopword-filter, snowball-stem.
-    * Stemming runs per token inside a higher-order `transform` via a scalar
-    * invocation of the pure-JVM stemmer.
-    */
+  /** Full T1-T5 pipeline: lower, split, stopword-filter, snowball-stem. */
   def tokens(content: Column, pattern: String = TokenPattern): Column =
-    transform(tokensNoStem(content, pattern), t => stemCol(t))
+    kernel(content, pattern, removeStop = true, stem = true)
 
   /** Column-level snowball stem of a single token. */
   def stemCol(token: Column): Column = {

@@ -1,0 +1,77 @@
+package graft.tokenize.expr
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.tokenize.{SnowballEnStemmer, Tokenizer}
+
+/** Single-pass tokenization kernel: lowercase → regex token scan →
+  * (optional) stopword removal → (optional) snowball stem, in one JVM loop.
+  *
+  * Replaces the Column-combinator pipeline
+  * `transform(filter(regexp_extract_all(lower(c))))`: `filter`/`transform`
+  * are higher-order functions, which Catalyst evaluates INTERPRETED
+  * (CodegenFallback) with per-element lambda dispatch — the dominant cost of
+  * the index build's tokenize stage. Semantics identical to the reference
+  * pipeline T1-T5 (utils/__init__.py:56-143; see Tokenizer).
+  */
+object TokenizerKernel {
+
+  private val patterns = new java.util.concurrent.ConcurrentHashMap[String, Pattern]()
+
+  def compiled(pattern: String): Pattern =
+    patterns.computeIfAbsent(pattern, p => Pattern.compile(p))
+
+  private val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Tokenizer.StopwordsEn.foreach(s.add)
+    s
+  }
+
+  /** @return array<string> of tokens. Lowercasing matches Spark `lower()`
+    * (UTF8String.toLowerCase), so oracle-checked queries agree with SQL.
+    */
+  def tokenize(input: UTF8String, p: Pattern, removeStop: Boolean,
+               stem: Boolean): ArrayData = {
+    val text = input.toLowerCase.toString
+    val m = p.matcher(text)
+    val out = new java.util.ArrayList[UTF8String]()
+    while (m.find()) {
+      val t = m.group()
+      if (!removeStop || !stopSet.contains(t)) {
+        val w = if (stem) SnowballEnStemmer.stem(t) else t
+        out.add(UTF8String.fromString(w))
+      }
+    }
+    new GenericArrayData(out.toArray())
+  }
+}
+
+case class TokenizeExpr(child: Expression, pattern: String,
+                        removeStop: Boolean, stem: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "tokenize"
+
+  @transient private lazy val compiledPattern = TokenizerKernel.compiled(pattern)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenizerKernel.tokenize(input.asInstanceOf[UTF8String],
+      compiledPattern, removeStop, stem)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patRef = ctx.addReferenceObj("tokPattern", compiledPattern,
+      classOf[Pattern].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.tokenize.expr.TokenizerKernel.tokenize($c, $patRef, $removeStop, $stem)")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
