@@ -136,7 +136,9 @@ object Bench {
     var dLow = 0.0; var qLow = 0.0
     var dHigh = 0.0; var qHigh = 0.0
     if (doScaling) {
-      for (round <- 1 to 2) {
+      // 3 interleaved rounds, best per leg: co-tenant slowdown waves last
+      // minutes, so one leg needs only ONE clean window across the run
+      for (round <- 1 to 3) {
         val sL = session(scaleLow)
         if (round == 1) bm25Pass(sL, scaleDocs / 10, 50, reps = 1) // JIT warmup
         val (d1, q1, _) = bm25Pass(sL, scaleDocs, 3000, reps = 1)

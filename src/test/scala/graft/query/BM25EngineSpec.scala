@@ -93,6 +93,27 @@ class BM25EngineSpec extends SparkTestBase {
     }
   }
 
+  test("k=1000 depth (reference retrieval depth): both paths match scalar") {
+    // k far beyond corpus size: result = every matching doc, fully ranked
+    val idx = new BM25Index(spark, indexDir)
+    import spark.implicits._
+    val q = Seq(("qd", "binary search tree"), ("qe", "def class return"))
+      .toDF("qid", "query")
+    val exact = collectResults(QueryEngine.searchExact(idx, q, 1000))
+    val wand = collectResults(QueryEngine.searchWand(idx, q, 1000))
+    for ((qid, qtext) <- Seq(("qd", "binary search tree"), ("qe", "def class return"))) {
+      val expected = scalar.topK(Tokenizer.tokenizeScalar(qtext), 1000)
+      assert(exact(qid).size == expected.size, s"$qid exact size")
+      assert(wand(qid).size == expected.size, s"$qid wand size")
+      exact(qid).zip(expected).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-4, s"$qid exact score $gs vs $es")
+      }
+      wand(qid).zip(expected).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-4, s"$qid wand score $gs vs $es")
+      }
+    }
+  }
+
   test("all-stopword and all-OOV queries yield no rows") {
     val idx = new BM25Index(spark, indexDir)
     import spark.implicits._
