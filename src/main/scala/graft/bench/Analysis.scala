@@ -1,0 +1,78 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's analysis pipeline re-expressed on DataFrames
+  * (analysis/combine_results.py): load per-run JSON reports, derive
+  * throughput, aggregate mean/std per (model, dataset), pivot to wide
+  * dataset×model tables, normalize against a baseline model, and render
+  * csv/markdown sinks.
+  */
+object Analysis {
+
+  /** S7: results glob scan — one JSON object per run file
+    * (combine_results.py:77-79).
+    */
+  def loadRuns(spark: SparkSession, resultsDir: String): DataFrame =
+    spark.read.option("multiLine", value = true)
+      .json(s"$resultsDir/*/*.json")
+
+  /** Per-run normalization (combine_results.py:88-133): prefer the best
+    * query timing, fold tokenization into both phases, derive
+    * qps = n_queries / query_time and dps = n_docs / index_time.
+    * Expects columns: model, dataset, n_queries, n_docs,
+    * query_time, index_time, [qtok_time, ctok_time, n_threads].
+    */
+  def withThroughput(runs: DataFrame): DataFrame = {
+    val qtok = coalesce(col("qtok_time"), lit(0.0))
+    val ctok = coalesce(col("ctok_time"), lit(0.0))
+    runs
+      .withColumn("qps", col("n_queries") / (col("query_time") + qtok))
+      .withColumn("dps", col("n_docs") / (col("index_time") + ctok))
+  }
+
+  /** P3: single-thread filter (combine_results.py:85-86). */
+  def singleThreaded(runs: DataFrame): DataFrame =
+    runs.filter(coalesce(col("n_threads"), lit(1)) === 1)
+
+  /** groupBy(model, dataset).agg(mean, std) (combine_results.py:152-164). */
+  def aggregate(runs: DataFrame): DataFrame =
+    runs.groupBy("model", "dataset")
+      .agg(
+        round(avg("qps"), 4).as("qps_mean"),
+        round(coalesce(stddev_samp("qps"), lit(0.0)), 4).as("qps_std"),
+        round(avg("dps"), 4).as("dps_mean"),
+        round(coalesce(stddev_samp("dps"), lit(0.0)), 4).as("dps_std"))
+
+  /** Wide dataset×model pivot of one metric (combine_results.py:174-184). */
+  def pivotMetric(agg: DataFrame, metric: String, models: Seq[String]): DataFrame =
+    agg.groupBy("dataset").pivot("model", models).agg(first(col(metric)))
+
+  /** Normalize a pivoted table by one model's column
+    * (qps_df.div(qps_df["Rank"]), combine_results.py:179-180).
+    */
+  def normalizeBy(pivoted: DataFrame, baselineModel: String,
+                  models: Seq[String]): DataFrame = {
+    val cols = col("dataset") +: models.map(m =>
+      round(col(m) / col(baselineModel), 4).as(m))
+    pivoted.select(cols: _*)
+  }
+
+  /** S8 sinks: csv via the writer; markdown rendered driver-side (the
+    * pivot output is small by construction — datasets × models).
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  def toMarkdown(df: DataFrame): String = {
+    val cols = df.columns
+    val header = cols.mkString("| ", " | ", " |")
+    val sep = cols.map(_ => "---").mkString("| ", " | ", " |")
+    val rows = df.collect().map(_.toSeq.map {
+      case null => ""
+      case v => v.toString
+    }.mkString("| ", " | ", " |"))
+    (header +: sep +: rows).mkString("\n")
+  }
+}

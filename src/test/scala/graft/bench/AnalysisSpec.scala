@@ -1,0 +1,55 @@
+package graft.bench
+
+import graft.SparkTestBase
+
+/** Hand-computed fixtures for the analysis pipeline math
+  * (analysis/combine_results.py semantics: qps/dps derivation, mean/std,
+  * pivot, baseline normalization, sinks).
+  */
+class AnalysisSpec extends SparkTestBase {
+
+  private def runs = {
+    import spark.implicits._
+    Seq(
+      // model, dataset, n_queries, n_docs, query_time, index_time, qtok, ctok, threads
+      ("graft", "nfcorpus", 100L, 1000L, 4.0, 10.0, 1.0, 10.0, 1),
+      ("graft", "nfcorpus", 100L, 1000L, 4.0, 30.0, 1.0, 10.0, 1),
+      ("graft", "scifact", 200L, 2000L, 9.0, 20.0, 1.0, 20.0, 1),
+      ("rank", "nfcorpus", 100L, 1000L, 49.0, 90.0, 1.0, 10.0, 1),
+      ("rank", "scifact", 200L, 2000L, 99.0, 60.0, 1.0, 20.0, 1),
+      ("graft", "nfcorpus", 100L, 1000L, 1.0, 1.0, 0.0, 0.0, 8) // multithreaded: dropped
+    ).toDF("model", "dataset", "n_queries", "n_docs",
+      "query_time", "index_time", "qtok_time", "ctok_time", "n_threads")
+  }
+
+  test("throughput derivation + single-thread filter + mean/std") {
+    val agg = Analysis.aggregate(
+      Analysis.withThroughput(Analysis.singleThreaded(runs)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // graft/nfcorpus: qps = 100/(4+1) = 20 both runs; dps = 1000/20=50 and 1000/40=25
+    val g = agg(("graft", "nfcorpus"))
+    assert(g.getDouble(2) == 20.0 && g.getDouble(3) == 0.0)
+    assert(g.getDouble(4) == 37.5)
+    assert(math.abs(g.getDouble(5) - 17.6777) < 1e-3) // std of {50,25}
+    // rank/scifact: qps = 200/100 = 2; dps = 2000/80 = 25
+    val r = agg(("rank", "scifact"))
+    assert(r.getDouble(2) == 2.0 && r.getDouble(4) == 25.0)
+  }
+
+  test("pivot + normalize by baseline model + markdown sink") {
+    val models = Seq("graft", "rank")
+    val agg = Analysis.aggregate(
+      Analysis.withThroughput(Analysis.singleThreaded(runs)))
+    val piv = Analysis.pivotMetric(agg, "qps_mean", models)
+    val byDs = piv.collect().map(r => r.getString(0) -> r).toMap
+    assert(byDs("nfcorpus").getDouble(1) == 20.0) // graft
+    assert(byDs("nfcorpus").getDouble(2) == 2.0)  // rank
+    val norm = Analysis.normalizeBy(piv, "rank", models)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(norm("nfcorpus").getDouble(1) == 10.0) // graft 10x rank
+    assert(norm("scifact").getDouble(2) == 1.0)
+    val md = Analysis.toMarkdown(piv.orderBy("dataset"))
+    assert(md.startsWith("| dataset | graft | rank |"))
+    assert(md.contains("| nfcorpus | 20.0 | 2.0 |"))
+  }
+}
