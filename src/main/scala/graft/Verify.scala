@@ -34,8 +34,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Keys must match the dump basenames above (`<name>.parquet`) — the
+    // driver joins oracle_sql.json keys against the dump dir names, and a
+    // bare-name key silently zeroes every compare (round-1 lesson).
+    val orphan = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    require(orphan.isEmpty, s"oracleSql keys with no queries entry: $orphan")
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(s"$k.parquet")}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -165,11 +165,15 @@ object OpsQueries {
   val textFingerprintSql: String =
     "SELECT doc_id AS id, substr(md5(lower(text)), 1, 16) AS fp16 FROM documents"
 
-  /** Winnowing fingerprints (rows-only; scalar twin tested in ScalaTest). */
+  /** Winnowing fingerprints (rows-only; scalar twin tested in ScalaTest).
+    * The raw `array<long>` column is collapsed to a scalar digest — the
+    * driver's pandas row compare cannot sort/hash numpy arrays (round-1
+    * crash), and a digest pins the same information.
+    */
   def textWinnow(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.fingerprints(docs(spark, sfDir), "doc_id", "text")
       .select(col("id"), size(col("fingerprints")).cast("long").as("n_fingerprints"),
-        col("fingerprints"))
+        xxhash64(to_json(col("fingerprints"))).as("fp_digest"))
 
   // ---- multimodal ---------------------------------------------------------
 
