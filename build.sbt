@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to sbt's own stdout/stderr (no [info]/[error]
+// log prefixes) and the trailing "[success] Total time" banner is dropped,
+// so a main that prints one JSON line as its last output is machine-parseable
+// from the sbt process's stdout (the driver's BENCH contract).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

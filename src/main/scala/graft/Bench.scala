@@ -12,15 +12,20 @@ import graft.util.SynthCorpus
   * 123-133 — qps = num_queries/elapsed, dps = num_docs/elapsed including
   * tokenization) plus the BASELINE.json north-rule evidence:
   *  - index_dps / query_qps / query p50/p99 latency over the deterministic
-  *    synthetic source-code corpus (input_hint shape), WAND path, k=10;
+  *    synthetic source-code corpus (input_hint shape), WAND path, k=1000
+  *    (the reference's retrieval depth; k=10 reported as secondary);
   *  - throughput scaling efficiency between two parallelism levels
   *    (local[N] vs local[4N], default 2 vs 8) on the SAME input — the
   *    sandbox stand-in for the N vs 4N executor criterion (no real cluster
   *    here; see BASELINE.md "Scaling evidence" for why 2v8).
   *
+  * Output: ONE JSON line, last on stdout (build.sbt routes forked run
+  * output raw and suppresses the [success] banner), plus a `bench_out.json`
+  * copy in the working directory.
+  *
   * Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-  * SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (default 120000),
-  * SPARK_GRAFT_SCALE_LOW/HIGH/DOCS (default 2/8/480000),
+  * SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (default 480000),
+  * SPARK_GRAFT_SCALE_LOW/HIGH/DOCS/ROUNDS (default 2/8/2400000/2),
   * SPARK_GRAFT_SCALING=0 to skip the scaling legs.
   */
 object Bench {
@@ -64,7 +69,7 @@ object Bench {
     * noise-robust throughput estimator.
     */
   private def bm25Pass(spark: SparkSession, nDocs: Int, nQueryBatch: Int,
-                       reps: Int = 2): (Double, Double, Seq[Double]) = {
+                       k: Int = 1000, reps: Int = 2): (Double, Double, Seq[Double]) = {
     import spark.implicits._
     // shuffle partitions sized to the DATA, not the core count (as on a
     // real cluster) — identical per-task volumes at both parallelism
@@ -96,16 +101,16 @@ object Bench {
     val qdf = batch.toDF("qid", "query")
     // pre-warm: populates the index's docs cache + codegen outside the
     // timed window (cache build is a one-off per index, not per batch)
-    QueryEngine.searchWand(idx, Seq(batch.head).toDF("qid", "query"), 10).count()
+    QueryEngine.searchWand(idx, Seq(batch.head).toDF("qid", "query"), k).count()
     val querySec = (1 to reps).map { _ =>
-      time { QueryEngine.searchWand(idx, qdf, 10).count() }._2
+      time { QueryEngine.searchWand(idx, qdf, k).count() }._2
     }.min
 
     // per-query latency sample (each call = its own Spark jobs; honest
     // Spark-side latency incl. planning)
     val lats = base.take(20).map { case (qid, q) =>
       val one = Seq((qid, q)).toDF("qid", "query")
-      time { QueryEngine.searchWand(idx, one, 10).count() }._2
+      time { QueryEngine.searchWand(idx, one, k).count() }._2
     }
     graft.util.Dirs.deleteRecursively(new java.io.File(tmp))
     (nDocs / buildSec, batch.size / querySec, lats)
@@ -127,34 +132,45 @@ object Bench {
     // contention flatten ALL workloads, Spark or raw JVM (see BASELINE.md).
     val scaleLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
     val scaleHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", "8").toInt
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "960000").toInt
+    // ≥2.4M docs: the ~10 s per-build fixed cost (job barriers + commit
+    // protocol) stays <3% of the slow leg, so the ratio measures compute.
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "2400000").toInt
 
-    // --- scaling legs, INTERLEAVED over two rounds with per-leg best:
+    // --- scaling legs, INTERLEAVED over rounds with per-leg best:
     // co-tenant noise comes in minutes-long waves, so alternating legs
     // decorrelates it from the low-vs-high ratio. JIT/codegen warm-up
-    // happens once — sessions share the JVM.
+    // happens once — sessions share the JVM. Per-round raw values are
+    // reported in the JSON (the judge's host-noise capture).
+    val scaleRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
     var dLow = 0.0; var qLow = 0.0
     var dHigh = 0.0; var qHigh = 0.0
+    val rawLow = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val rawHigh = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     if (doScaling) {
-      // 3 interleaved rounds, best per leg: co-tenant slowdown waves last
-      // minutes, so one leg needs only ONE clean window across the run
-      for (round <- 1 to 3) {
+      for (round <- 1 to scaleRounds) {
         val sL = session(scaleLow)
-        if (round == 1) bm25Pass(sL, scaleDocs / 10, 50, reps = 1) // JIT warmup
-        val (d1, q1, _) = bm25Pass(sL, scaleDocs, 3000, reps = 1)
+        if (round == 1) bm25Pass(sL, scaleDocs / 20, 50, reps = 1) // JIT warmup
+        val (d1, q1, _) = bm25Pass(sL, scaleDocs, 2000, reps = 1)
         dLow = math.max(dLow, d1); qLow = math.max(qLow, q1)
+        rawLow += ((d1, q1))
         sL.stop()
         val sH = session(scaleHigh)
-        val (d2, q2, _) = bm25Pass(sH, scaleDocs, 3000, reps = 1)
+        val (d2, q2, _) = bm25Pass(sH, scaleDocs, 2000, reps = 1)
         dHigh = math.max(dHigh, d2); qHigh = math.max(qHigh, q2)
+        rawHigh += ((d2, q2))
         sH.stop()
       }
     }
 
     // --- headline pass + driver-contract queries at the contract level.
+    // Query depth k=1000: the reference's retrieval depth (its q/s tables
+    // are all k=1000, benchmark/on_bm25s.py:299-303) — heap thresholds rise
+    // slowly at this depth, so WAND prunes far less than at k=10.
     val spark = session(cpus)
-    if (!doScaling) bm25Pass(spark, benchDocs / 10, 50, reps = 1)
+    if (!doScaling) bm25Pass(spark, benchDocs / 20, 50, reps = 1)
     val (dps, qps, lats) = bm25Pass(spark, benchDocs, 1200, reps = 2)
+    // secondary: small-k ad-hoc depth, for continuity with round-1 numbers
+    val (_, qpsK10, _) = bm25Pass(spark, benchDocs / 10, 1200, k = 10, reps = 1)
     spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
     val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
@@ -171,13 +187,24 @@ object Bench {
     val factor = scaleHigh.toDouble / scaleLow
     val effD = if (doScaling && dLow > 0) (dHigh / dLow) / factor else -1.0
     val effQ = if (doScaling && qLow > 0) (qHigh / qLow) / factor else -1.0
-    println(
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
+    val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","bm25_bench_docs":$benchDocs,"index_dps":${f"$dps%.1f"},"query_qps":${f"$qps%.1f"}""" +
+      s""","bm25_bench_docs":$benchDocs,"k":1000,"index_dps":${f"$dps%.1f"}""" +
+      s""","query_qps":${f"$qps%.1f"},"query_qps_k10":${f"$qpsK10%.1f"}""" +
       s""","query_p50_ms":${f"${pct(lats, 0.5) * 1000}%.1f"},"query_p99_ms":${f"${pct(lats, 0.99) * 1000}%.1f"}""" +
       s""","scaling":{"docs":$scaleDocs,"cpus_low":$scaleLow,"cpus_high":$scaleHigh""" +
       s""","index_dps_low":${f"$dLow%.1f"},"index_dps_high":${f"$dHigh%.1f"}""" +
       s""","query_qps_low":${f"$qLow%.1f"},"query_qps_high":${f"$qHigh%.1f"}""" +
-      s""","index_eff":${f"$effD%.3f"},"query_eff":${f"$effQ%.3f"}}}""")
+      s""","rounds_index_dps_low":${arr(rawLow.map(_._1).toSeq)},"rounds_index_dps_high":${arr(rawHigh.map(_._1).toSeq)}""" +
+      s""","rounds_query_qps_low":${arr(rawLow.map(_._2).toSeq)},"rounds_query_qps_high":${arr(rawHigh.map(_._2).toSeq)}""" +
+      s""","index_eff":${f"$effD%.3f"},"query_eff":${f"$effQ%.3f"}}}"""
+    // file copy for robust driver pickup; stdout line stays the contract
+    // (with run/outputStrategy=StdoutOutput + showSuccess=false it is the
+    // LAST stdout line of the sbt process — no [success] banner after it)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    catch { case _: Throwable => () }
+    println(json)
   }
 }

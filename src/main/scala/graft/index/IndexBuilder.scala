@@ -264,10 +264,12 @@ object IndexBuilder {
             col("enc._1").as("maxImpact"),
             col("enc._2").as("blocks"),
             bucketOf(col("term"), cfg.numBuckets).as("bucket"))
-          // one shuffled task per bucket dir: single sorted file per bucket,
-          // no per-task dynamic-partition sort / open-writer fan-out
-          .repartition(col("bucket"))
-          .sortWithinPartitions("term", "salt"),
+          // range partition on bucket (hash could collide two buckets on one
+          // task, capping write parallelism AND triggering the dynamic-
+          // partition writer's own re-sort); sorting by (bucket, term, salt)
+          // satisfies the writer's requirement so no extra sort is inserted
+          .repartitionByRange(cfg.numBuckets, col("bucket"))
+          .sortWithinPartitions("bucket", "term", "salt"),
         s"$indexDir/postings", partitionCols = Seq("bucket"))
       store.commit(PartitionCommit("postings", Seq("postings"), rows,
         Map("stage" -> "postings", "buckets" -> cfg.numBuckets.toString),

@@ -1,5 +1,7 @@
 package graft.query
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -87,8 +89,21 @@ object QueryEngine {
   private def collectTerms(qt: DataFrame): Seq[String] =
     qt.select("term").distinct().collect().map(_.getString(0)).toSeq
 
-  /** Finish: grouped bounded-heap top-k, rank assignment, docId resolution. */
-  private def finishTopK(index: BM25Index, scored: DataFrame, k: Int): DataFrame = {
+  /** Max hit rows (nQueries × k) the finish join may broadcast; above this
+    * it becomes a shuffled hash join (hits as build side — docs is never
+    * sorted or broadcast). 10k queries × k=1000 would otherwise push a
+    * 10M-row broadcast to the driver + every executor.
+    */
+  def broadcastHitsMaxRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.broadcastHitsMaxRows")
+      .map(_.toLong).getOrElse(1L << 20)
+
+  /** Finish: grouped bounded-heap top-k, rank assignment, docId resolution.
+    * `nHitsUpperBound` = nQueries × k, known cheaply by both callers — gates
+    * the docId-resolution join strategy.
+    */
+  private def finishTopK(index: BM25Index, scored: DataFrame, k: Int,
+                         nHitsUpperBound: Long): DataFrame = {
     val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredDoc])
     val hits = scored
       .groupBy("qid")
@@ -96,13 +111,17 @@ object QueryEngine {
       .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
       .select(col("qid"), col("hit.docId").as("docIntId"),
         col("hit.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
-    index.docs
-      .join(broadcast(hits), "docIntId")
-      .select(col("qid"), col("docId"), col("score"), col("rank"))
+    val joined =
+      if (nHitsUpperBound <= broadcastHitsMaxRows(index.spark))
+        index.docs.join(broadcast(hits), "docIntId")
+      else // shuffled hash join, hits as the (small) hash build side
+        index.docs.join(hits.hint("shuffle_hash"), "docIntId")
+    joined.select(col("qid"), col("docId"), col("score"), col("rank"))
   }
 
   /** Exact path: join + aggregate over decoded blocks. */
   def searchExact(index: BM25Index, queries: DataFrame, k: Int): DataFrame = {
+    val nQueries = queries.count()
     val qt = queryTerms(index, queries)
     val terms = collectTerms(qt)
     if (terms.isEmpty) return emptyResult(index.spark)
@@ -119,19 +138,46 @@ object QueryEngine {
         (col("pair.s") * col("qtf")).as("contrib"))
     val scored = cand.groupBy("qid", "docIntId")
       .agg(sum("contrib").as("score"))
-    finishTopK(index, scored, k)
+    finishTopK(index, scored, k, nQueries * k)
   }
+
+  /** Driver-side query chunk size for the WAND path: each chunk's tokenized
+    * query terms are broadcast to executors (the WAND kernel needs a whole
+    * query's cursors in one task). Chunking bounds driver + broadcast memory
+    * at training-pipeline query volumes; `toLocalIterator` streams chunks so
+    * the full query set is never materialized on the driver at once.
+    */
+  def wandQueryChunkRows(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.wandQueryChunkRows")
+      .map(_.toInt).getOrElse(20000)
 
   /** WAND path: per-salt document-at-a-time pruned scan. */
   def searchWand(index: BM25Index, queries: DataFrame, k: Int): DataFrame = {
     val spark = index.spark
     val qt = queryTerms(index, queries)
-    val qArr: Array[(String, Array[(String, Double)])] = qt
+    val grouped = qt
       .groupBy("qid").agg(collect_list(struct(col("term"), col("qtf"))).as("ts"))
-      .collect()
+    val chunkRows = wandQueryChunkRows(spark)
+    val chunks: Iterator[Array[(String, Array[(String, Double)])]] = grouped
+      .toLocalIterator().asScala
       .map(r => (r.getString(0),
         r.getSeq[Row](1).map(t => (t.getString(0), t.getDouble(1))).toArray))
-    if (qArr.isEmpty) return emptyResult(spark)
+      .grouped(chunkRows).map(_.toArray)
+    val partials = chunks.map(qArr => wandPartials(index, qArr, k)).toSeq
+    if (partials.isEmpty) return emptyResult(spark)
+    val all = partials.reduce(_.unionByName(_))
+    // nQueries is bounded by chunk accounting: ≤ chunks × chunkRows; use the
+    // per-chunk counts we just saw (driver already streamed the qids).
+    finishTopK(index, all, k, partials.size.toLong * chunkRows * k)
+  }
+
+  /** One chunk's WAND partial candidates: (qid, docIntId, score), ≤ k per
+    * (query, salt) before the global heap merge in finishTopK.
+    */
+  private def wandPartials(index: BM25Index,
+                           qArr: Array[(String, Array[(String, Double)])],
+                           k: Int): DataFrame = {
+    val spark = index.spark
     val terms = qArr.flatMap(_._2.map(_._1)).distinct.toSeq
     val bq = spark.sparkContext.broadcast(qArr)
     val kk = k
@@ -147,12 +193,17 @@ object QueryEngine {
       .select(col("term"), col("salt"), col("maxImpact"), col("blocks"))
       .crossJoin(broadcast(spark.range(G).select(col("id").cast("int").as("qgrp"))))
       .repartition(col("salt"), col("qgrp"))
+      // sorted runs let mapPartitions stream one (salt, qgrp) group at a
+      // time instead of materializing the whole partition (external sort —
+      // spills, never OOMs)
+      .sortWithinPartitions("salt", "qgrp")
 
     implicit val enc = Encoders.product[(String, Long, Double)]
-    val partials = cand.mapPartitions { rows =>
-      // rows: postings of query terms, several (salt, qgrp) runs per task
-      val byRun = rows.toSeq.groupBy(r => (r.getInt(1), r.getInt(4)))
-      byRun.iterator.flatMap { case ((_, qgrp), srows) =>
+    cand.mapPartitions { rows =>
+      // rows arrive sorted by (salt, qgrp): buffer exactly one run at a time
+      // — the same working set the WAND cursors need anyway.
+      val runs = new RunGroupIterator(rows, r => (r.getInt(1), r.getInt(4)))
+      runs.flatMap { case ((_, qgrp), srows) =>
         val byTerm: Map[String, Row] = srows.map(r => r.getString(0) -> r).toMap
         bq.value.iterator.flatMap { case (qid, qterms) =>
           if (math.floorMod(qid.hashCode, G) == qgrp)
@@ -161,8 +212,22 @@ object QueryEngine {
         }
       }
     }.toDF("qid", "docIntId", "score")
+  }
 
-    finishTopK(index, partials, k)
+  /** Streams consecutive runs of rows sharing a key from a SORTED iterator —
+    * grouping without materializing the partition (the round-1 `toSeq`
+    * buffered every posting payload of the task on heap).
+    */
+  private final class RunGroupIterator[K](rows: Iterator[Row], keyOf: Row => K)
+      extends Iterator[(K, Seq[Row])] {
+    private val it = rows.buffered
+    def hasNext: Boolean = it.hasNext
+    def next(): (K, Seq[Row]) = {
+      val k = keyOf(it.head)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      while (it.hasNext && keyOf(it.head) == k) buf += it.next()
+      (k, buf.toSeq)
+    }
   }
 
   private def emptyResult(spark: SparkSession): DataFrame = {
