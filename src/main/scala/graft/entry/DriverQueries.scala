@@ -25,7 +25,7 @@ object DriverQueries {
 
   // ---- shared tokenization fragments ----------------------------------
 
-  private val stopSql: String =
+  private[entry] val stopSql: String =
     Tokenizer.StopwordsEn.map(w => s"'$w'").mkString("(", ",", ")")
 
   /** Spark: ASCII tokens of lower(text), stopwords removed. */
@@ -96,9 +96,12 @@ object DriverQueries {
       .select(col("qid"), col("doc_id"), col("score"), col("rank").cast("int"))
   }
 
-  val bm25TopkSql: String = {
+  /** Reusable CTE chain ending in `ranked` (shared by the flagship oracle
+    * and the eval_metrics oracle in OpsQueries).
+    */
+  private[entry] val bm25RankedCtes: String = {
     val valuesSql = bm25Queries.map { case (qid, q) => s"('$qid','$q')" }.mkString(", ")
-    s"""WITH $ftokCte,
+    s"""$ftokCte,
        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ftok GROUP BY 1,2),
        |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ftok GROUP BY 1),
@@ -119,10 +122,15 @@ object DriverQueries {
        |ranked AS (
        |  SELECT qid, doc_id, score,
        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  private[entry] val bm25TopK: Int = topK
+
+  val bm25TopkSql: String =
+    s"""WITH $bm25RankedCtes
        |SELECT qid, doc_id, score, rank::INT AS rank FROM ranked WHERE rank <= $topK
        |""".stripMargin
-  }
 
   // ---- tokenization stats ----------------------------------------------
 

@@ -68,6 +68,16 @@ object OpsQueries {
       dims = 64, threshold = 0.4, nBits = 2)
       .orderBy("id_a", "id_b")
 
+  val dedupEmbeddingSql: String = {
+    val bucket = lshBucketSql("emb", 42L, nBits = 2, dims = 64)
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |b AS (SELECT id, emb, $bucket AS bucket FROM e),
+       |p AS (SELECT a.id AS id_a, b2.id AS id_b,
+       |        round(list_cosine_similarity(a.emb, b2.emb), 6) AS cosine
+       |      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id)
+       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin
+  }
+
   // ---- similarity search -------------------------------------------------
 
   private def annInputs(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
@@ -92,6 +102,31 @@ object OpsQueries {
   def annLshTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val (corpus, queries) = annInputs(spark, sfDir)
     Similarity.lshTopK(corpus, queries, k = 5, dims = 64, nBits = 8, probes = 2)
+  }
+
+  /** DuckDB bucket expression replicating Similarity.lshSignature: the
+    * hyperplanes are deterministic literals, so they are inlined into the
+    * SQL from the same constants the Spark expression uses.
+    */
+  private def lshBucketSql(vec: String, seed: Long, nBits: Int, dims: Int): String =
+    Similarity.planes(seed, nBits, dims).zipWithIndex.map { case (p, bit) =>
+      val arr = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_inner_product($vec, $arr::DOUBLE[]) >= 0 THEN ${1L << bit} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val annLshTopkSql: String = {
+    val bucket = lshBucketSql("e", 42L, nBits = 8, dims = 64)
+    s"""WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
+       |q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 5),
+       |cb AS (SELECT id, e, $bucket AS bucket FROM c),
+       |qb0 AS (SELECT qid, e, $bucket AS bucket FROM q0),
+       |qb AS (SELECT qid, e, unnest([bucket, xor(bucket, 1), xor(bucket, 2)]) AS bucket FROM qb0),
+       |s AS (SELECT DISTINCT qb.qid, cb.id,
+       |        round(list_cosine_similarity(qb.e, cb.e), 6) AS sim
+       |      FROM qb JOIN cb USING (bucket)),
+       |r AS (SELECT qid, id, sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id ASC) AS rank FROM s)
+       |SELECT qid, id, sim, rank::INT AS rank FROM r WHERE rank <= 5""".stripMargin
   }
 
   // ---- text analysis -----------------------------------------------------
@@ -195,9 +230,35 @@ object OpsQueries {
       .select(col("id"), col("kind"), col("width"), col("height"),
         col("n_frames"), size(col("features")).as("n_features"))
 
+  /** byte `i` of an MD5 hex digest column, as a DuckDB integer expression. */
+  private def md5ByteSql(h: String, i: Int): String =
+    s"((strpos('0123456789abcdef', substr($h, ${2 * i + 1}, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', substr($h, ${2 * i + 2}, 1)) - 1))"
+
+  val mmDecodeStubSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    md5(text) AS h
+       |  FROM documents)
+       |SELECT id, kind,
+       |  (16 + ${md5ByteSql("h", 0)} % 64)::INT AS width,
+       |  (16 + ${md5ByteSql("h", 1)} % 64)::INT AS height,
+       |  (CASE WHEN kind = 'video' THEN 1 + ${md5ByteSql("h", 2)} % 30 ELSE 1 END)::INT AS n_frames,
+       |  8::INT AS n_features
+       |FROM m""".stripMargin
+
   def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.sampleFrames(
       Multimodal.asMediaTable(docs(spark, sfDir), "doc_id", "text"))
+
+  val mmFrameSampleSql: String =
+    """WITH v AS (SELECT doc_id AS id, octet_length(encode(text))::BIGINT AS len
+      |           FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT id, len, unnest(range(0, (len - 1) // 64 + 1)) AS frame_no FROM v)
+      |SELECT id, frame_no::INT AS frame_no,
+      |  least(64, len - frame_no * 64)::INT AS frame_bytes
+      |FROM f WHERE frame_no % 4 = 0""".stripMargin
 
   // ---- eval + indexed engine (rows-only) ----------------------------------
 
@@ -226,6 +287,59 @@ object OpsQueries {
         (lit(4) - col("r")).cast("int").as("grade"))
     graft.eval.TrecEval.evaluate(res, qrels, Seq(1, 3, 10))
   }
+
+  /** Full pytrec_eval-semantics oracle: reuses the bm25 ranked CTEs, derives
+    * the same tf-based qrels, computes NDCG/MAP/Recall/P at {1,3,10}. docId
+    * comparisons happen on VARCHAR (the Spark side casts to string), so the
+    * tie-break is lexicographic on both sides.
+    */
+  val evalMetricsSql: String =
+    s"""WITH ${DriverQueries.bm25RankedCtes},
+       |res AS (SELECT qid, doc_id::VARCHAR AS docid, score FROM ranked
+       |        WHERE rank <= ${DriverQueries.bm25TopK}),
+       |tfs AS (SELECT qt.qid, tf.doc_id, sum(tf.tf)::BIGINT AS s
+       |        FROM (SELECT qid, term FROM qtok WHERE term NOT IN ${DriverQueries.stopSql}) qt
+       |        JOIN tf USING (term) GROUP BY 1, 2),
+       |qr0 AS (SELECT qid, doc_id,
+       |          row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id ASC) AS r
+       |        FROM tfs),
+       |qrels AS (SELECT qid, doc_id::VARCHAR AS docid, (4 - r)::INT AS grade
+       |          FROM qr0 WHERE r <= 3),
+       |rr AS (SELECT qid, docid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rank
+       |       FROM res),
+       |j AS (SELECT rr.qid, rr.rank, coalesce(q.grade, 0) AS grade,
+       |        CASE WHEN coalesce(q.grade, 0) > 0 THEN 1 ELSE 0 END AS rel
+       |      FROM rr LEFT JOIN qrels q ON rr.qid = q.qid AND rr.docid = q.docid),
+       |jp AS (SELECT *,
+       |         sum(rel) OVER (PARTITION BY qid ORDER BY rank
+       |           ROWS UNBOUNDED PRECEDING)::DOUBLE / rank AS prec
+       |       FROM j),
+       |nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels WHERE grade > 0 GROUP BY 1),
+       |ideal AS (SELECT qid, grade,
+       |            row_number() OVER (PARTITION BY qid ORDER BY grade DESC, docid ASC) AS irank
+       |          FROM qrels WHERE grade > 0),
+       |cuts(k) AS (VALUES (1), (3), (10)),
+       |dcg AS (SELECT k, qid,
+       |          sum((pow(2, grade) - 1) / log2(rank + 1)) AS dcg,
+       |          sum(rel)::BIGINT AS hits,
+       |          sum(CASE WHEN rel = 1 THEN prec ELSE 0 END) AS ap_num
+       |        FROM jp, cuts WHERE rank <= k GROUP BY 1, 2),
+       |idcg AS (SELECT k, qid, sum((pow(2, grade) - 1) / log2(irank + 1)) AS idcg
+       |         FROM ideal, cuts WHERE irank <= k GROUP BY 1, 2),
+       |per AS (SELECT cuts.k AS cutoff, nrel.qid,
+       |          CASE WHEN coalesce(idcg.idcg, 0) > 0
+       |            THEN coalesce(dcg.dcg, 0) / idcg.idcg ELSE 0 END AS ndcg,
+       |          coalesce(dcg.ap_num, 0) / nrel.n_rel AS ap,
+       |          coalesce(dcg.hits, 0)::DOUBLE / nrel.n_rel AS recall,
+       |          coalesce(dcg.hits, 0)::DOUBLE / cuts.k AS p
+       |        FROM nrel CROSS JOIN cuts
+       |        LEFT JOIN dcg ON dcg.qid = nrel.qid AND dcg.k = cuts.k
+       |        LEFT JOIN idcg ON idcg.qid = nrel.qid AND idcg.k = cuts.k)
+       |SELECT cutoff::INT AS cutoff, round(avg(ndcg), 5) AS ndcg,
+       |  round(avg(ap), 5) AS map, round(avg(recall), 5) AS recall,
+       |  round(avg(p), 5) AS p
+       |FROM per GROUP BY 1""".stripMargin
 
   /** Full index-backed engine over documents (stemmed unicode pipeline,
     * float32 impacts, WAND) — rows-only driver check; parity vs the scalar
@@ -267,10 +381,15 @@ object OpsQueries {
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_embedding" -> dedupEmbeddingSql,
     "ann_cosine_topk" -> annCosineTopkSql,
+    "ann_lsh_topk" -> annLshTopkSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_tokcount" -> textTokcountSql,
     "text_fingerprint" -> textFingerprintSql,
-    "mm_binary_meta" -> mmBinaryMetaSql)
+    "mm_binary_meta" -> mmBinaryMetaSql,
+    "mm_decode_stub" -> mmDecodeStubSql,
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "eval_metrics" -> evalMetricsSql)
 }

@@ -22,21 +22,19 @@ object Multimodal {
       n_frames: Int, features: Array[Float])
 
   /** STUB — deterministic fake decode standing in for a real image/audio
-    * codec. Derives (width, height, frames, 8-dim features) from byte
-    * content via splitmix64. Marked per builder instructions; replace with
-    * a real decoder off-sandbox.
+    * codec. Derives (width, height, frames, 8-dim features) from the MD5 of
+    * the byte content (md5 is computable by the DuckDB oracle too, so the
+    * whole decode output is independently checkable). Marked per builder
+    * instructions; replace with a real decoder off-sandbox.
     */
   object FakeCodec {
     def decode(id: Long, kind: String, bytes: Array[Byte]): DecodedMedia = {
-      var h = graft.util.SynthCorpus.mix(bytes.length.toLong * 31 + kind.hashCode)
-      var i = 0
-      while (i < math.min(bytes.length, 64)) { h = graft.util.SynthCorpus.mix(h + bytes(i)); i += 1 }
-      val w = 16 + math.floorMod(h, 64).toInt
-      val ht = 16 + math.floorMod(h >>> 8, 64).toInt
-      val frames = if (kind == "video") 1 + math.floorMod(h >>> 16, 30).toInt else 1
-      val feats = Array.tabulate(8) { d =>
-        (graft.util.SynthCorpus.mix(h + d) >>> 11).toFloat / (1L << 53).toFloat
-      }
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      def u(i: Int): Int = d(i) & 0xff
+      val w = 16 + u(0) % 64
+      val ht = 16 + u(1) % 64
+      val frames = if (kind == "video") 1 + u(2) % 30 else 1
+      val feats = Array.tabulate(8)(i => u(3 + i).toFloat / 255.0f)
       DecodedMedia(id, kind, w, ht, frames, feats)
     }
   }

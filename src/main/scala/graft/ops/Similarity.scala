@@ -79,6 +79,13 @@ object Similarity {
     (m >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
   }
 
+  /** The literal hyperplane matrix behind `lshSignature`, exposed so an
+    * external oracle (the driver's DuckDB compare) can replicate bucket
+    * assignment exactly from the same constants.
+    */
+  def planes(seed: Long, nBits: Int, dims: Int): Seq[Seq[Double]] =
+    (0 until nBits).map(bit => (0 until dims).map(d => planeComponent(seed, bit, d)))
+
   /** Sign-bit LSH signature of `nBits` hyperplanes as a Column (bit i set
     * iff dot(v, plane_i) >= 0). Pure expressions: planes are literal arrays.
     */
