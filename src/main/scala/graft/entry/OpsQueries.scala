@@ -36,13 +36,16 @@ object OpsQueries {
 
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramJaccard(docs(spark, sfDir), asciiToks, "doc_id",
-      n = 3, threshold = 0.8, roundTo = 6)
+      n = 3, threshold = 0.8, roundTo = 6, maxShingleDf = 100)
 
   val dedupNgramJaccardSql: String =
     """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS toks FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks)-1),
+      |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks)-1),
       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
       |       FROM t WHERE len(toks) >= 3),
+      |sh AS (SELECT doc_id, sh FROM (
+      |         SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+      |       WHERE df <= 100),
       |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2)

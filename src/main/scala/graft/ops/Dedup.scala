@@ -27,20 +27,38 @@ object Dedup {
       .withColumn("keep", col("id") === min(col("id")).over(w))
   }
 
-  /** Token n-gram shingle set (distinct) as a Column over a token array. */
+  /** Token n-gram shingle set (distinct, first-occurrence order) as a Column
+    * over a token array — native codegen expression (the transform/
+    * concat_ws/array_distinct combinator tree it replaces ran interpreted).
+    */
   def shingles(tokens: Column, n: Int): Column =
-    when(size(tokens) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*))))
+    graft.ops.expr.OpsExprs.shingles(tokens, n)
 
   /** Exact pairwise n-gram Jaccard over shingle sets, blocked by shared
     * shingle (a pair is compared only if it shares ≥1 shingle — no cross
     * join). Output: (id_a, id_b, jaccard) for pairs ≥ threshold, id_a < id_b.
+    *
+    * `maxShingleDf` > 0 drops shingles occurring in more than that many
+    * docs from BOTH the blocking and the set sizes (ubiquitous-shingle
+    * stopwording): a single boilerplate shingle (license header) otherwise
+    * forms an O(df²) join group — the classic skew killer at corpus scale.
+    * Pairs whose overlap is exclusively ubiquitous shingles are missed;
+    * that is the documented recall trade of the cap.
+    *
+    * The exploded shingle table is persisted: three consumers (two join
+    * sides + sizes) would otherwise re-run tokenize+shingle per use.
     */
   def ngramJaccard(docs: DataFrame, tokens: Column, idCol: String,
-                   n: Int = 3, threshold: Double = 0.5, roundTo: Int = 6): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(tokens, n)).as("sh"))
+                   n: Int = 3, threshold: Double = 0.5, roundTo: Int = 6,
+                   maxShingleDf: Int = 0): DataFrame = {
+    val shAll = docs.select(col(idCol).as("id"), explode(shingles(tokens, n)).as("sh"))
+    val sh0 =
+      if (maxShingleDf > 0) {
+        val w = Window.partitionBy("sh")
+        shAll.withColumn("df", count(lit(1)).over(w))
+          .where(col("df") <= maxShingleDf).drop("df")
+      } else shAll
+    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -66,6 +84,16 @@ object Dedup {
     * similarity. Bands of r rows; docs sharing any band bucket become
     * candidates; est_jaccard = fraction of matching signature components.
     * Output: (id_a, id_b, est_jaccard) ≥ threshold.
+    *
+    * Signature format v2 (round 1 changed the hash family to
+    * mix(xxh64(shingle) ^ seed_j)): signatures are NOT comparable with any
+    * v1 output persisted before that change — always recompute in-pipeline,
+    * never mix stored signatures across versions.
+    *
+    * Plan shape: the banded signature table is persisted (two join sides
+    * would otherwise re-run tokenize+shingle+minhash each), est_jaccard and
+    * the threshold filter run BEFORE the pair dedup so the distinct
+    * shuffles 3 narrow columns instead of two m-element signatures.
     */
   def minhashLsh(docs: DataFrame, tokens: Column, idCol: String,
                  n: Int = 3, m: Int = 32, bands: Int = 8,
@@ -82,20 +110,18 @@ object Dedup {
         xxhash64(concat_ws(",",
           (0 until r).map(j => element_at(col("sig"), bnd * r + j + 1)): _*))
       }: _*)).as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a"); val b = banded.as("b")
-    val cand = a.join(b,
+    a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("siga"), col("b.sig").as("sigb"))
-      .dropDuplicates("id_a", "id_b")
-    cand
-      .select(col("id_a"), col("id_b"),
         round(
-          size(filter(zip_with(col("siga"), col("sigb"),
+          size(filter(zip_with(col("a.sig"), col("b.sig"),
             (x, y) => x === y), b => b)).cast("double") / m,
           roundTo).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** 64-bit SimHash of a token array: per-bit weighted vote of token
@@ -119,6 +145,7 @@ object Dedup {
         shiftrightunsigned(col("sh"), c * width)
           .bitwiseAND(lit((1L << width) - 1))
       }: _*)).as(Seq("chunk", "cv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = chunked.as("a"); val b = chunked.as("b")
     val cand = a.join(b,
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
@@ -142,6 +169,7 @@ object Dedup {
                         roundTo: Int = 6): DataFrame = {
     val e = vecs.select(col(idCol).as("id"), col(embCol).as("emb"),
       Similarity.lshSignature(col(embCol), dims, nBits, seed).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = e.as("a"); val b = e.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -86,10 +86,12 @@ object OpsKernels {
 
   /** Sequential-order dot product over float or double arrays, accumulated
     * in double (same accumulation order as the `aggregate` fold and as a SQL
-    * engine's left-to-right sum, so rounded comparisons agree).
+    * engine's left-to-right sum, so rounded comparisons agree). Callers
+    * (DotProductExpr) enforce equal lengths BEFORE calling — a silent
+    * min-length dot would mask embedding-dimension bugs.
     */
   def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -99,6 +101,27 @@ object OpsKernels {
       i += 1
     }
     acc
+  }
+
+  /** Distinct token n-gram shingles joined by single spaces, first-occurrence
+    * order (array_distinct semantics). Empty when fewer than n tokens.
+    */
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val space = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= cnt - n) {
+      var j = 0
+      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 }
 
@@ -131,9 +154,28 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    OpsKernels.shingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.expr.OpsKernels.shingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Mismatched array lengths yield NULL (not a truncated dot product) so
+  * embedding-dimension bugs surface instead of producing plausible numbers.
+  */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_product"
 
@@ -146,18 +188,29 @@ case class DotProductExpr(left: Expression, right: Expression)
   private lazy val lf = isFloat(left)
   private lazy val rf = isFloat(right)
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    OpsKernels.dot(a.asInstanceOf[ArrayData], lf, b.asInstanceOf[ArrayData], rf)
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
+    if (aa.numElements() != bb.numElements()) null
+    else OpsKernels.dot(aa, lf, bb, rf)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.ops.expr.OpsKernels.dot($a, $lf, $b, $rf)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.ops.expr.OpsKernels.dot($a, $lf, $b, $rf);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
 
 object OpsExprs {
+  def shingles(tokens: Column, n: Int): Column =
+    bridge.toColumn(ShinglesExpr(bridge.toExpression(tokens), n))
   def minhashSig(shingles: Column, m: Int): Column =
     bridge.toColumn(MinHashSigExpr(bridge.toExpression(shingles), m))
   def simhash64(tokens: Column): Column =

@@ -154,21 +154,31 @@ object QueryEngine {
   /** WAND path: per-salt document-at-a-time pruned scan. */
   def searchWand(index: BM25Index, queries: DataFrame, k: Int): DataFrame = {
     val spark = index.spark
+    val nQueries = queries.count()
+    if (nQueries == 0) return emptyResult(spark)
     val qt = queryTerms(index, queries)
     val grouped = qt
       .groupBy("qid").agg(collect_list(struct(col("term"), col("qtf"))).as("ts"))
     val chunkRows = wandQueryChunkRows(spark)
-    val chunks: Iterator[Array[(String, Array[(String, Double)])]] = grouped
-      .toLocalIterator().asScala
-      .map(r => (r.getString(0),
-        r.getSeq[Row](1).map(t => (t.getString(0), t.getDouble(1))).toArray))
-      .grouped(chunkRows).map(_.toArray)
-    val partials = chunks.map(qArr => wandPartials(index, qArr, k)).toSeq
+    def decode(r: Row): (String, Array[(String, Double)]) =
+      (r.getString(0),
+        r.getSeq[Row](1).map(t => (t.getString(0), t.getDouble(1))).toArray)
+    // Small batches: one collect (the common interactive/bench case).
+    // Large batches: stream partition-sized chunks through the driver —
+    // toLocalIterator runs a job per partition, so size partitions to the
+    // chunk target first; driver memory stays bounded by one chunk.
+    val chunks: Iterator[Array[(String, Array[(String, Double)])]] =
+      if (nQueries <= chunkRows) Iterator(grouped.collect().map(decode))
+      else {
+        val nParts = math.max(1, ((nQueries + chunkRows - 1) / chunkRows).toInt)
+        grouped.repartition(nParts).toLocalIterator().asScala
+          .map(decode).grouped(chunkRows).map(_.toArray)
+      }
+    val partials = chunks.filter(_.nonEmpty)
+      .map(qArr => wandPartials(index, qArr, k)).toSeq
     if (partials.isEmpty) return emptyResult(spark)
     val all = partials.reduce(_.unionByName(_))
-    // nQueries is bounded by chunk accounting: ≤ chunks × chunkRows; use the
-    // per-chunk counts we just saw (driver already streamed the qids).
-    finishTopK(index, all, k, partials.size.toLong * chunkRows * k)
+    finishTopK(index, all, k, nQueries * k)
   }
 
   /** One chunk's WAND partial candidates: (qid, docIntId, score), ≤ k per
