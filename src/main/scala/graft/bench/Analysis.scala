@@ -59,11 +59,67 @@ object Analysis {
     pivoted.select(cols: _*)
   }
 
-  /** S8 sinks: csv via the writer; markdown rendered driver-side (the
+  // ---- comparisons grids (analysis/generate_comparisons.py:123-210) ----
+
+  /** ×100 rescale + round — `df["ndcg@10"] * 100 ... .round(1)`
+    * (generate_comparisons.py:141-144).
+    */
+  def rescalePercent(df: DataFrame, cols: Seq[String], dp: Int = 1): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c) * 100.0, dp)))
+
+  /** Multi-index pivot_table: groupBy(indexCols).pivot(columnCol)
+    * .first(valueCol) — the reference's
+    * `pivot_table(index=[...], columns="dataset", values="ndcg@10")`
+    * (generate_comparisons.py:152-155, 192-195). `columnVals` pins the
+    * output columns (explicit values keep the plan one pass).
+    */
+  def pivotTable(df: DataFrame, indexCols: Seq[String], columnCol: String,
+                 columnVals: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(indexCols.map(col): _*)
+      .pivot(columnCol, columnVals)
+      .agg(first(col(valueCol)))
+
+  /** Prepend the row-average column (`Avg.` first,
+    * generate_comparisons.py:157-163,196-203): NULL when any value column
+    * is missing — the reference blanks Avg. for incomplete rows.
+    */
+  def withRowAvg(pivoted: DataFrame, valueCols: Seq[String],
+                 indexCols: Seq[String], dp: Int = 1): DataFrame = {
+    val anyNull = valueCols.map(c => col(c).isNull).reduce(_ || _)
+    val mean = valueCols.map(col).reduce(_ + _) / valueCols.size
+    val avg = when(anyNull, lit(null)).otherwise(round(mean, dp)).as("Avg.")
+    pivoted.select(indexCols.map(col) ++ (avg +: valueCols.map(col)): _*)
+  }
+
+  /** `fillna("--")` for rendering (generate_comparisons.py:205): value
+    * columns become strings with missing cells dashed.
+    */
+  def fillMissing(df: DataFrame, valueCols: Seq[String],
+                  filler: String = "--"): DataFrame =
+    valueCols.foldLeft(df)((d, c) =>
+      // backtick-quote: rendered column names may contain dots ("Avg.")
+      d.withColumn(c, coalesce(col(s"`$c`").cast("string"), lit(filler))))
+
+  /** S8 sinks: csv via the writer; markdown/latex rendered driver-side (the
     * pivot output is small by construction — datasets × models).
     */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Latex tabular sink (save_as_csv_latex_markdown's third format,
+    * analysis/generate_comparisons.py:80-97 / pandas to_latex shape).
+    */
+  def toLatex(df: DataFrame): String = {
+    val cols = df.columns
+    def esc(s: String) = s.replace("_", "\\_").replace("%", "\\%").replace("&", "\\&")
+    val header = cols.map(esc).mkString(" & ") + " \\\\"
+    val rows = df.collect().map(_.toSeq.map {
+      case null => ""
+      case v => esc(v.toString)
+    }.mkString(" & ") + " \\\\")
+    (Seq(s"\\begin{tabular}{${"l" * cols.length}}", "\\toprule", header, "\\midrule") ++
+      rows ++ Seq("\\bottomrule", "\\end{tabular}")).mkString("\n")
+  }
 
   def toMarkdown(df: DataFrame): String = {
     val cols = df.columns

@@ -60,33 +60,38 @@ object DriverQueries {
   private val b = 0.75
   private val topK = 10
 
-  /** Composed declarative BM25 (lucene variant, double math end-to-end):
-    * tf/df/len aggregates + scoring join + rounded-rank window. The
-    * index-backed engine path (float32 impacts) is exercised by
-    * `bm25_topk_indexed` and ScalaTest parity suites.
+  /** Composed declarative BM25 (double math end-to-end), parameterized by
+    * scoring variant via graft.score.BM25's Column builders: tf/df/len
+    * aggregates + scoring join + rounded-rank window. The index-backed
+    * engine path (float32 impacts) is exercised by `bm25_topk_indexed` and
+    * ScalaTest parity suites.
     */
-  def bm25TopkComposed(spark: SparkSession, sfDir: String): DataFrame = {
+  def bm25TopkMethod(spark: SparkSession, sfDir: String,
+                     p: graft.score.BM25Params): DataFrame = {
     val docs = t(spark, sfDir, "documents")
     val ftok = docs.select(col("doc_id"),
       explode(asciiTokens(col("text"))).as("term"))
     val tf = ftok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = ftok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val nDocs = docs.count()
-    val sumDl = ftok.count()
-    val avgdl = sumDl.toDouble / nDocs
+    // one action for both global stats (docs with zero tokens still count)
+    val statsRow = docs
+      .select(col("doc_id"), size(asciiTokens(col("text"))).cast("long").as("n_tok"))
+      .agg(count(lit(1)), sum(col("n_tok"))).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
 
     import spark.implicits._
     val q = bm25Queries.toDF("qid", "qtext")
     val qtf = q.select(col("qid"), explode(asciiTokens(col("qtext"))).as("term"))
       .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
 
-    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfw = col("tf") / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val impact = graft.score.BM25.impact(p, col("tf"), col("df"), col("dl"),
+      lit(nDocs.toDouble), lit(avgdl))
     val scored = qtf
       .join(tf, "term").join(dft, "term").join(dl, "doc_id")
       .select(col("qid"), col("doc_id"),
-        (col("qtf") * idf * tfw).as("contrib"))
+        (col("qtf") * impact).as("contrib"))
       .groupBy("qid", "doc_id")
       .agg(round(sum(col("contrib")), 4).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
@@ -96,10 +101,20 @@ object DriverQueries {
       .select(col("qid"), col("doc_id"), col("score"), col("rank").cast("int"))
   }
 
-  /** Reusable CTE chain ending in `ranked` (shared by the flagship oracle
-    * and the eval_metrics oracle in OpsQueries).
+  def bm25TopkComposed(spark: SparkSession, sfDir: String): DataFrame =
+    bm25TopkMethod(spark, sfDir, graft.score.BM25Params())
+
+  /** Robertson-idf variant (§2.6): same pipeline, different idf/tf weight —
+    * oracle-checked like the lucene flagship.
     */
-  private[entry] val bm25RankedCtes: String = {
+  def bm25TopkRobertson(spark: SparkSession, sfDir: String): DataFrame =
+    bm25TopkMethod(spark, sfDir, graft.score.BM25Params(method = "robertson"))
+
+  /** Reusable CTE chain ending in `ranked`, parameterized by the per-term
+    * contribution expression (shared by the lucene flagship, the robertson
+    * variant, and the eval_metrics oracle in OpsQueries).
+    */
+  private[entry] def bm25RankedCtesFor(contribSql: String): String = {
     val valuesSql = bm25Queries.map { case (qid, q) => s"('$qid','$q')" }.mkString(", ")
     s"""$ftokCte,
        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ftok GROUP BY 1,2),
@@ -111,9 +126,7 @@ object DriverQueries {
        |qtok AS (SELECT qid, unnest(regexp_extract_all(lower(qtext), '[a-z0-9_]{2,}')) AS term FROM q),
        |qtf AS (SELECT qid, term, count(*)::BIGINT AS qtf FROM qtok WHERE term NOT IN $stopSql GROUP BY 1,2),
        |scored AS (
-       |  SELECT qtf.qid, tf.doc_id,
-       |    round(sum(qtf.qtf * ln(1.0 + (stats.n - dft.df + 0.5)/(dft.df + 0.5))
-       |      * tf.tf / (tf.tf + $k1 * (${1.0 - b} + $b * dl.dl / stats.avgdl))), 4) AS score
+       |  SELECT qtf.qid, tf.doc_id, round(sum($contribSql), 4) AS score
        |  FROM qtf
        |  JOIN tf USING (term) JOIN dft USING (term) JOIN dl ON tf.doc_id = dl.doc_id
        |  CROSS JOIN stats
@@ -125,12 +138,27 @@ object DriverQueries {
        |  FROM scored)""".stripMargin
   }
 
+  private val bm25NormSql = s"(${1.0 - b} + $b * dl.dl / stats.avgdl)"
+
+  private[entry] val bm25RankedCtes: String = bm25RankedCtesFor(
+    s"""qtf.qtf * ln(1.0 + (stats.n - dft.df + 0.5)/(dft.df + 0.5))
+       |      * tf.tf / (tf.tf + $k1 * $bm25NormSql)""".stripMargin)
+
   private[entry] val bm25TopK: Int = topK
 
   val bm25TopkSql: String =
     s"""WITH $bm25RankedCtes
        |SELECT qid, doc_id, score, rank::INT AS rank FROM ranked WHERE rank <= $topK
        |""".stripMargin
+
+  val bm25TopkRobertsonSql: String = {
+    val ctes = bm25RankedCtesFor(
+      s"""qtf.qtf * ln((stats.n - dft.df + 0.5)/(dft.df + 0.5))
+         |      * tf.tf * ${1.0 + k1} / (tf.tf + $k1 * $bm25NormSql)""".stripMargin)
+    s"""WITH $ctes
+       |SELECT qid, doc_id, score, rank::INT AS rank FROM ranked WHERE rank <= $topK
+       |""".stripMargin
+  }
 
   // ---- tokenization stats ----------------------------------------------
 
@@ -277,6 +305,7 @@ object DriverQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> (bm25TopkComposed _),
+    "bm25_topk_robertson" -> (bm25TopkRobertson _),
     "tok_doclen" -> (tokDoclen _),
     "term_df" -> (termDf _),
     "corpus_stats" -> (corpusStats _),
@@ -288,6 +317,7 @@ object DriverQueries {
 
   val oracleSql: Map[String, String] = Map(
     "bm25_topk" -> bm25TopkSql,
+    "bm25_topk_robertson" -> bm25TopkRobertsonSql,
     "tok_doclen" -> tokDoclenSql,
     "term_df" -> termDfSql,
     "corpus_stats" -> corpusStatsSql,

@@ -263,6 +263,41 @@ object OpsQueries {
       |  least(64, len - frame_no * 64)::INT AS frame_bytes
       |FROM f WHERE frame_no % 4 = 0""".stripMargin
 
+  // ---- sources: multi-corpus merge + seeded sampling ----------------------
+
+  /** cqadupstack-style merge over three synthetic sub-corpora sliced from
+    * `documents` (utils/beir.py:38-112 semantics: union + id namespacing).
+    */
+  def corpusMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val parts = Seq("alpha", "beta", "gamma").zipWithIndex.map { case (nm, i) =>
+      nm -> d.where(pmod(col("doc_id"), lit(3)) === i)
+        .select(col("doc_id").as("_id"), col("text"))
+    }
+    graft.sources.CorpusMerge.merge(parts)
+      .select(col("_id").as("id"), length(col("text")).cast("long").as("n_chars"))
+  }
+
+  val corpusMergeSql: String =
+    """SELECT 'alpha_' || doc_id AS id, length(text)::BIGINT AS n_chars
+      |FROM documents WHERE doc_id % 3 = 0
+      |UNION ALL
+      |SELECT 'beta_' || doc_id, length(text)::BIGINT
+      |FROM documents WHERE doc_id % 3 = 1
+      |UNION ALL
+      |SELECT 'gamma_' || doc_id, length(text)::BIGINT
+      |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+
+  /** Seed-42 deterministic sample (on_rank_bm25.py:72-76 contract). */
+  def sampleQueries(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.seededSample(
+      docs(spark, sfDir).select(col("doc_id"), col("text")), "doc_id", 50)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+
+  val sampleQueriesSql: String =
+    """SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents
+      |ORDER BY md5('42:' || doc_id), doc_id LIMIT 50""".stripMargin
+
   // ---- eval + indexed engine (rows-only) ----------------------------------
 
   /** NDCG/MAP/Recall/P of the composed BM25 ranking against qrels derived
@@ -378,6 +413,8 @@ object OpsQueries {
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_stub" -> (mmDecodeStub _),
     "mm_frame_sample" -> (mmFrameSample _),
+    "corpus_merge" -> (corpusMerge _),
+    "sample_queries" -> (sampleQueries _),
     "eval_metrics" -> (evalMetrics _),
     "bm25_topk_indexed" -> (bm25TopkIndexed _))
 
@@ -394,5 +431,7 @@ object OpsQueries {
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode_stub" -> mmDecodeStubSql,
     "mm_frame_sample" -> mmFrameSampleSql,
+    "corpus_merge" -> corpusMergeSql,
+    "sample_queries" -> sampleQueriesSql,
     "eval_metrics" -> evalMetricsSql)
 }

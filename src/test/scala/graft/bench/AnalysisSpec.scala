@@ -52,4 +52,36 @@ class AnalysisSpec extends SparkTestBase {
     assert(md.startsWith("| dataset | graft | rank |"))
     assert(md.contains("| nfcorpus | 20.0 | 2.0 |"))
   }
+
+  test("comparisons grid: slice, rescale, multi-index pivot, row avg, latex") {
+    import spark.implicits._
+    // per-(config, dataset) scores, generate_comparisons.py input shape
+    val scores = Seq(
+      ("BM25S", 1.5, 0.75, "lucene", "nfcorpus", 0.3181),
+      ("BM25S", 1.5, 0.75, "lucene", "scifact", 0.6814),
+      ("BM25S", 1.2, 0.75, "robertson", "nfcorpus", 0.3105),
+      // robertson/scifact missing -> Avg. must blank for that row
+      ("PISA", 1.2, 0.75, "pisa", "nfcorpus", 0.3210),
+      ("PISA", 1.2, 0.75, "pisa", "scifact", 0.6900)
+    ).toDF("model", "k1", "b", "method", "dataset", "ndcg10")
+
+    val datasets = Seq("nfcorpus", "scifact")
+    val sliced = scores.filter($"model" === "BM25S" || $"model" =!= "BM25S") // full set
+    val scaled = Analysis.rescalePercent(sliced, Seq("ndcg10"))
+    val piv = Analysis.pivotTable(scaled, Seq("k1", "b", "method"),
+      "dataset", datasets, "ndcg10")
+    val grid = Analysis.withRowAvg(piv, datasets, Seq("k1", "b", "method"))
+    val byMethod = grid.collect().map(r => r.getString(2) -> r).toMap
+    // lucene: (31.8 + 68.1)/2 = 49.9499... in binary -> 49.9
+    assert(byMethod("lucene").getDouble(3) == 49.9)
+    assert(byMethod("lucene").getDouble(4) == 31.8)
+    assert(byMethod("robertson").isNullAt(3)) // incomplete row -> null Avg.
+    val rendered = Analysis.fillMissing(grid, "Avg." +: datasets)
+    val rrow = rendered.collect().find(_.getString(2) == "robertson").get
+    assert(rrow.getString(3) == "--" && rrow.getString(5) == "--")
+    val tex = Analysis.toLatex(rendered.orderBy("method"))
+    assert(tex.startsWith("\\begin{tabular}{llllll}"))
+    assert(tex.contains("k1 & b & method & Avg. & nfcorpus & scifact \\\\"))
+    assert(tex.contains("1.5 & 0.75 & lucene & 49.9 & 31.8 & 68.1 \\\\"))
+  }
 }
