@@ -14,6 +14,13 @@ import graft.util.SynthCorpus
   */
 class PlanSpec extends SparkTestBase {
 
+  /** The driver-query plan gates read the sandbox fixture dir; skip (not
+    * error) on machines without it.
+    */
+  private val sfDir = "/root/testdata/sf0.001"
+  private def assumeFixtures(): Unit =
+    assume(new java.io.File(sfDir).isDirectory, s"fixture dir $sfDir absent")
+
   private lazy val indexDir = {
     val dir = tmpDir("graft-planspec")
     import spark.implicits._
@@ -44,7 +51,8 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("composed BM25 driver query: column-pruned document scan") {
-    val df = graft.entry.DriverQueries.tokDoclen(spark, "/root/testdata/sf0.001")
+    assumeFixtures()
+    val df = graft.entry.DriverQueries.tokDoclen(spark, sfDir)
     val scan = df.queryExecution.executedPlan.toString
     // only doc_id and text should be read from the documents table
     assert(scan.contains("ReadSchema"), scan)
@@ -52,8 +60,31 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("dimension joins broadcast (q2_join_agg)") {
-    val df = graft.entry.DriverQueries.q2JoinAgg(spark, "/root/testdata/sf0.001")
+    assumeFixtures()
+    val df = graft.entry.DriverQueries.q2JoinAgg(spark, sfDir)
     val physical = df.queryExecution.executedPlan.toString
     assert(physical.contains("BroadcastHashJoin"), physical)
+  }
+
+  test("finish join never broadcasts hits above the row bound") {
+    val idx = new BM25Index(spark, indexDir)
+    import spark.implicits._
+    val q = Seq(("q1", "binary search tree"), ("q2", "hash index merge"))
+      .toDF("qid", "query")
+    // Above the bound: nQueries*k=2000 > 1000 -> shuffled hash join, hits
+    // as build side; docs must be neither broadcast nor sorted.
+    spark.conf.set("spark.graft.broadcastHitsMaxRows", "1000")
+    try {
+      val big = QueryEngine.searchWand(idx, q, 1000)
+      val physBig = big.queryExecution.executedPlan.toString
+      assert(physBig.contains("ShuffledHashJoin"),
+        s"no shuffled hash join for large hit sets:\n$physBig")
+      assert(!physBig.contains("BroadcastHashJoin"),
+        s"large hit set still broadcast:\n$physBig")
+      assert(big.count() > 0)
+      // Below the bound: broadcast resolution join as before.
+      val small = QueryEngine.searchWand(idx, q, 10)
+      assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    } finally spark.conf.unset("spark.graft.broadcastHitsMaxRows")
   }
 }
