@@ -51,6 +51,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", s"$workBase/spark-local-$cpus")
       .config("spark.ui.enabled", "false")
+      // Small input splits so the staged corpus scan yields >= 2x cores
+      // tasks at EVERY parallelism level: with the 128 MB default the
+      // corpus collapses to ~3 splits, which makes IndexBuilder repartition
+      // the full content payload at local[8] but not at local[2] — an
+      // asymmetric cost that corrupts the scaling ratio.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

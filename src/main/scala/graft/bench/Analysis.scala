@@ -36,6 +36,10 @@ object Analysis {
   def singleThreaded(runs: DataFrame): DataFrame =
     runs.filter(coalesce(col("n_threads"), lit(1)) === 1)
 
+  /** P4: model exclusion filter (combine_results.py:120-121). */
+  def excludeModels(runs: DataFrame, removed: Seq[String]): DataFrame =
+    runs.filter(!col("model").isInCollection(removed))
+
   /** groupBy(model, dataset).agg(mean, std) (combine_results.py:152-164). */
   def aggregate(runs: DataFrame): DataFrame =
     runs.groupBy("model", "dataset")

@@ -66,52 +66,67 @@ object IndexBuilder {
   def saltOf(docIntId: Column): Column =
     shiftrightunsigned(docIntId, SaltShift).cast(IntegerType)
 
-  /** Posting-run encoder: (docIntIds, tfs, lens, df) → (maxImpact, blocks).
-    * Sorts the run by docIntId, materializes eager BM25 impacts (the bm25s
-    * strategy, benchmark/on_bm25s.py:124-129), packs delta+varbyte blocks
-    * with block-max metadata. Returns max and blocks in ONE invocation and
-    * is marked nondeterministic so CollapseProject cannot inline it into
-    * multiple downstream uses and re-run the encoder per reference (the
-    * value is in fact deterministic).
+  /** One encoded posting list: the output row of the streaming encoder. */
+  final case class PostingListRow(
+      term: String, salt: Int, df: Long, count: Int,
+      maxImpact: Float, blocks: Seq[PostingBlock], bucket: Int)
+
+  /** Streaming posting-run encoder over rows sorted by (bucket, term, salt,
+    * docIntId): buffers exactly ONE (term, salt) group at a time (bounded by
+    * the salt width, ≤ 2^SaltShift entries), materializes eager BM25 impacts
+    * (the bm25s strategy, benchmark/on_bm25s.py:124-129) and packs
+    * delta+varbyte blocks with block-max metadata. Replaces a
+    * collect_list aggregation that either buffered whole partitions in
+    * boxed builders (hash agg) or re-sorted every group (sort-based
+    * fallback — measured NOT to scale 2→8 cores); here the upstream
+    * UnsafeRow radix sort provides the run order and memory stays bounded
+    * per group regardless of partition size.
+    *
+    * Input row layout: (term STRING, salt INT, docIntId LONG, tf LONG,
+    * len LONG, df LONG, bucket INT).
     */
-  def blockEncoderUdf(p: BM25Params, numDocs: Long, avgdl: Double) = udf(
-    (ids0: Seq[Long], tfs0: Seq[Long], lens0: Seq[Long], df: Long) => {
-      // the three collect_lists share row order within the group; copy to
-      // primitive arrays, then sort jointly by docIntId for delta encoding
-      val n = ids0.length
-      val ids = new Array[Long](n)
-      val tfs = new Array[Long](n)
-      val lens = new Array[Long](n)
-      locally {
-        var i = 0
-        val it0 = ids0.iterator; val it1 = tfs0.iterator; val it2 = lens0.iterator
-        while (i < n) { ids(i) = it0.next(); tfs(i) = it1.next(); lens(i) = it2.next(); i += 1 }
-      }
-      val order: Array[Int] = Array.tabulate(n)(identity).sortBy(j => ids(j))
-      val sIds = new Array[Long](n)
-      val imps = new Array[Float](n)
+  final class RunEncoder(p: BM25Params, numDocs: Long, avgdl: Double,
+                         rows: Iterator[org.apache.spark.sql.Row])
+      extends Iterator[PostingListRow] {
+    private val it = rows.buffered
+    def hasNext: Boolean = it.hasNext
+
+    private var ids = new Array[Long](1024)
+    private var imps = new Array[Float](1024)
+
+    def next(): PostingListRow = {
+      val head = it.head
+      val term = head.getString(0)
+      val salt = head.getInt(1)
+      val df = head.getLong(5)
+      val bucket = head.getInt(6)
+      var n = 0
       var maxImp = Float.MinValue
-      var i = 0
-      while (i < n) {
-        val j = order(i)
-        sIds(i) = ids(j)
+      while (it.hasNext && it.head.getString(0) == term && it.head.getInt(1) == salt) {
+        val r = it.next()
+        if (n == ids.length) {
+          ids = java.util.Arrays.copyOf(ids, n * 2)
+          imps = java.util.Arrays.copyOf(imps, n * 2)
+        }
+        ids(n) = r.getLong(2)
         val imp = BM25.Scalar
-          .impact(p, tfs(j).toDouble, df, lens(j), numDocs, avgdl).toFloat
-        imps(i) = imp
+          .impact(p, r.getLong(3).toDouble, df, r.getLong(4), numDocs, avgdl).toFloat
+        imps(n) = imp
         if (imp > maxImp) maxImp = imp
-        i += 1
+        n += 1
       }
       val nBlocks = (n + Codec.BlockSize - 1) / Codec.BlockSize
       val blocks = (0 until nBlocks).map { b =>
         val from = b * Codec.BlockSize
         val until = math.min(from + Codec.BlockSize, n)
-        val bIds = java.util.Arrays.copyOfRange(sIds, from, until)
+        val bIds = java.util.Arrays.copyOfRange(ids, from, until)
         val bImps = java.util.Arrays.copyOfRange(imps, from, until)
         PostingBlock(bIds.head, bIds.last, bImps.max, bIds.length,
           Codec.encodeDeltaVarByte(bIds), Codec.encodeFloats(bImps))
       }
-      (maxImp, blocks)
-    }).asNondeterministic()
+      PostingListRow(term, salt, df, n, maxImp, blocks, bucket)
+    }
+  }
 
   def bucketOf(term: Column, numBuckets: Int): Column =
     pmod(xxhash64(term), lit(numBuckets.toLong)).cast(IntegerType)
@@ -203,8 +218,10 @@ object IndexBuilder {
     if (!store.committedGroups().contains("docs")) {
       val s = System.nanoTime()
       val lens = segments.groupBy("docIntId").agg(sum("tf").as("len"))
+      // shuffle-hash, not sort-merge: neither side needs sorting for a
+      // plain equi-join and SMJ would sort both million-row sides
       val n = writeCounted(
-        docmap.join(lens, Seq("docIntId"), "left")
+        docmap.join(lens.hint("shuffle_hash"), Seq("docIntId"), "left")
           .select(col("docIntId"), col("docId"),
             coalesce(col("len"), lit(0L)).as("len"), col("salt")),
         s"$indexDir/docs")
@@ -219,10 +236,9 @@ object IndexBuilder {
     val numTokens = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
     val numSalts = statsRow.getLong(3)
 
-    // ---- stage 3: postings — group by (term, salt), global df from the
+    // ---- stage 3: postings — sorted (term, salt) runs, global df from the
     // narrow termstats agg, eager impacts, delta+varbyte blocks.
     val p = cfg.params
-    val encodeBlocks = blockEncoderUdf(p, numDocs, avgdl)
 
     // stage 3a: narrow per-term stats (exact global df; partial+final hash
     // agg, so a term in 50% of docs never concentrates on one task).
@@ -241,35 +257,36 @@ object IndexBuilder {
     if (!store.committedGroups().contains("postings")) {
       val s = System.nanoTime()
       // df joins onto NARROW segment rows (AQE skew-split handles giant
-      // terms), then the array build groups by (term, salt) — every group
-      // bounded by the salt width, never by a term's full df. The previous
-      // design (window over term AFTER collect_list) would have colocated a
-      // high-df term's entire posting payload on one task.
-      val grouped = segments
+      // terms); one hash shuffle on (bucket, salt) co-locates each (term,
+      // salt) run WITH its output bucket, and the radix sort inside each
+      // task hands the streaming encoder its runs in order — every run
+      // bounded by the salt width, never by a term's full df, and encoder
+      // memory bounded by one run regardless of partition size.
+      // termstats can exceed the broadcast threshold (singleton terms make
+      // |vocab| ~ O(corpus)); hint shuffle-hash so the 50M-row segment side
+      // is never sorted for the join — its only sort is the run sort below.
+      // termHash leads the intra-bucket sort key so row comparisons resolve
+      // on a long instead of the term string (term itself only breaks the
+      // rare hash ties); runs stay (term, salt)-contiguous either way.
+      val sorted = segments
         .withColumn("salt", saltOf(col("docIntId")))
-        .join(termstats.select("term", "df"), "term")
-        .groupBy("term", "salt")
-        .agg(
-          collect_list(col("docIntId")).as("pids"),
-          collect_list(col("tf")).as("ptfs"),
-          collect_list(col("len")).as("plens"),
-          count(lit(1)).as("partialDf"),
-          first(col("df")).as("df"))
+        .join(termstats.select("term", "df").hint("shuffle_hash"), "term")
+        .withColumn("bucket", bucketOf(col("term"), cfg.numBuckets))
+        .withColumn("termHash", xxhash64(col("term")))
+        .select(col("term"), col("salt"), col("docIntId"), col("tf"),
+          col("len"), col("df"), col("bucket"), col("termHash"))
+        .repartition(col("bucket"), col("salt"))
+        .sortWithinPartitions("bucket", "termHash", "term", "salt", "docIntId")
+        .drop("termHash")
+      implicit val enc = org.apache.spark.sql.Encoders.product[PostingListRow]
+      val encoded = sorted.mapPartitions(rows =>
+        new RunEncoder(p, numDocs, avgdl, rows))
       val rows = writeCounted(
-        grouped
-          .withColumn("enc",
-            encodeBlocks(col("pids"), col("ptfs"), col("plens"), col("df")))
-          .select(col("term"), col("salt"), col("df"),
-            col("partialDf").cast(IntegerType).as("count"),
-            col("enc._1").as("maxImpact"),
-            col("enc._2").as("blocks"),
-            bucketOf(col("term"), cfg.numBuckets).as("bucket"))
-          // range partition on bucket (hash could collide two buckets on one
-          // task, capping write parallelism AND triggering the dynamic-
-          // partition writer's own re-sort); sorting by (bucket, term, salt)
-          // satisfies the writer's requirement so no extra sort is inserted
-          .repartitionByRange(cfg.numBuckets, col("bucket"))
-          .sortWithinPartitions("bucket", "term", "salt"),
+        // re-sort the (small: one row per posting list) encoded output by
+        // real term order: files get tight term min/max per row group, so
+        // the query-side In(term) pushdown skips row groups; also satisfies
+        // the partition writer's ordering requirement (no writer sort)
+        encoded.toDF().sortWithinPartitions("bucket", "term", "salt"),
         s"$indexDir/postings", partitionCols = Seq("bucket"))
       store.commit(PartitionCommit("postings", Seq("postings"), rows,
         Map("stage" -> "postings", "buckets" -> cfg.numBuckets.toString),

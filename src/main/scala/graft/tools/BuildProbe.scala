@@ -110,30 +110,22 @@ object BuildProbe {
         .select("docIntId", "len", "term", "tf")
       val termstats = spark.read.parquet(s"$tmp/index/termstats")
       val props = store.readProperties()
-      val enc = graft.index.IndexBuilder.blockEncoderUdf(
-        graft.score.BM25Params(), props("numDocs").toLong, props("avgdl").toDouble)
-      val grouped = segments
+      val sorted = segments
         .withColumn("salt", graft.index.IndexBuilder.saltOf(col("docIntId")))
         .join(termstats.select("term", "df"), "term")
-        .groupBy("term", "salt")
-        .agg(collect_list(col("docIntId")).as("pids"),
-          collect_list(col("tf")).as("ptfs"),
-          collect_list(col("len")).as("plens"),
-          count(lit(1)).as("partialDf"), first(col("df")).as("df"))
-      t("real-post: grouped count")(grouped.count())
-      val encoded = grouped.withColumn("enc",
-          enc(col("pids"), col("ptfs"), col("plens"), col("df")))
-        .select(col("term"), col("salt"), col("df"),
-          col("enc._1").as("maxImpact"), col("enc._2").as("blocks"),
-          graft.index.IndexBuilder.bucketOf(col("term"), 16).as("bucket"))
-      t("real-post: +encode count")(encoded.count())
-      t("real-post: +write plain")(encoded.write.parquet(s"$tmp/pp1"))
+        .withColumn("bucket", graft.index.IndexBuilder.bucketOf(col("term"), 16))
+        .select(col("term"), col("salt"), col("docIntId"), col("tf"),
+          col("len"), col("df"), col("bucket"))
+        .repartition(col("bucket"), col("salt"))
+        .sortWithinPartitions("bucket", "term", "salt", "docIntId")
+      t("real-post: shuffle+sort count")(sorted.count())
+      implicit val encE =
+        org.apache.spark.sql.Encoders.product[graft.index.IndexBuilder.PostingListRow]
+      val encoded = sorted.mapPartitions(rows => new graft.index.IndexBuilder.RunEncoder(
+        graft.score.BM25Params(), props("numDocs").toLong, props("avgdl").toDouble, rows))
+      t("real-post: +encode count")(encoded.toDF().count())
       t("real-post: +write partitionBy") {
-        encoded.write.partitionBy("bucket").parquet(s"$tmp/pp2")
-      }
-      t("real-post: +repartition+write partitionBy") {
-        encoded.repartition(col("bucket")).sortWithinPartitions("term", "salt")
-          .write.partitionBy("bucket").parquet(s"$tmp/pp3")
+        encoded.toDF().write.partitionBy("bucket").parquet(s"$tmp/pp2")
       }
     }
     spark.stop()

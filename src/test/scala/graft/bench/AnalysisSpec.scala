@@ -36,6 +36,12 @@ class AnalysisSpec extends SparkTestBase {
     assert(r.getDouble(2) == 2.0 && r.getDouble(4) == 25.0)
   }
 
+  test("model exclusion filter") {
+    val kept = Analysis.excludeModels(runs, Seq("rank"))
+      .select("model").distinct().collect().map(_.getString(0)).toSet
+    assert(kept == Set("graft"))
+  }
+
   test("pivot + normalize by baseline model + markdown sink") {
     val models = Seq("graft", "rank")
     val agg = Analysis.aggregate(
