@@ -214,7 +214,10 @@ object QueryEngine {
       // — the same working set the WAND cursors need anyway.
       val runs = new RunGroupIterator(rows, r => (r.getInt(1), r.getInt(4)))
       runs.flatMap { case ((_, qgrp), srows) =>
-        val byTerm: Map[String, Row] = srows.map(r => r.getString(0) -> r).toMap
+        // unpack each (term, salt) run ONCE; all queries of the group share
+        // its decoded blocks through SharedRun's cache
+        val byTerm: Map[String, Wand.SharedRun] =
+          srows.map(r => r.getString(0) -> Wand.runOf(r)).toMap
         bq.value.iterator.flatMap { case (qid, qterms) =>
           if (math.floorMod(qid.hashCode, G) == qgrp)
             Wand.topkForQuery(qid, qterms, byTerm, kk)
@@ -254,42 +257,83 @@ object QueryEngine {
   * Hot-loop engineering (this is the analogue of the reference's numba /
   * PISA C++ kernels, benchmark/on_bm25s.py:144-150, on_pisa.py:51):
   * block metadata is unpacked once into primitive arrays (no Row field
-  * lookups in the skip loop), and the cursor ordering is maintained
+  * lookups in the skip loop), the cursor ordering is maintained
   * incrementally (bounded insertion-sort passes) instead of re-sorting and
-  * re-allocating per document step.
+  * re-allocating per document step, and decoded blocks are SHARED across
+  * the queries of a batch group (SharedRun) — a 2000-query batch touching
+  * the same hot terms decodes each block once, not 2000 times (the batch
+  * analogue of bm25s's reusable score matrix).
   */
 object Wand {
 
-  /** One (term,salt) posting run, unpacked from its Row once. Blocks decode
-    * lazily; skipping to a target docId never decodes blocks whose
-    * `last < target`.
+  /** One (term,salt) posting run unpacked from its Row once per task, with
+    * a per-block decode cache shared by every query cursor in the group.
+    * `maxCachedBlocks` soft-caps cache memory: beyond it, decodes fall
+    * through uncached (correct, just slower) so a pathological run can't
+    * hold the whole decoded posting space on heap.
     */
-  final class Cursor(val qtf: Double, val ubTotal: Double,
-                     firsts: Array[Long], lasts: Array[Long],
-                     maxs: Array[Float], ns: Array[Int],
-                     idBytes: Array[Array[Byte]], impBytes: Array[Array[Byte]]) {
-    private val nBlocks = firsts.length
+  final class SharedRun(val maxImpact: Float,
+                        val firsts: Array[Long], val lasts: Array[Long],
+                        val maxs: Array[Float], val ns: Array[Int],
+                        idBytes: Array[Array[Byte]], impBytes: Array[Array[Byte]],
+                        maxCachedBlocks: Int = 1 << 16) {
+    val nBlocks: Int = firsts.length
+    private val idCache = new Array[Array[Long]](nBlocks)
+    private val impCache = new Array[Array[Float]](nBlocks)
+    private var cached = 0
+
+    def ids(bi: Int): Array[Long] = {
+      val c = idCache(bi)
+      if (c != null) c
+      else {
+        val d = Codec.decodeDeltaVarByte(idBytes(bi), ns(bi))
+        if (cached < maxCachedBlocks) { idCache(bi) = d; cached += 1 }
+        d
+      }
+    }
+
+    def imps(bi: Int): Array[Float] = {
+      val c = impCache(bi)
+      if (c != null) c
+      else {
+        val d = Codec.decodeFloats(impBytes(bi))
+        if (idCache(bi) != null) impCache(bi) = d
+        d
+      }
+    }
+  }
+
+  /** A query-term cursor over a SharedRun. Skipping to a target docId never
+    * decodes blocks whose `last < target`.
+    */
+  final class Cursor(val qtf: Double, run: SharedRun) {
+    val ubTotal: Double = run.maxImpact * qtf
+    private val nBlocks = run.nBlocks
     private var bi = 0
     private var ids: Array[Long] = null
     private var imps: Array[Float] = null
     private var pos = 0
-    var curDoc: Long = if (nBlocks > 0) firsts(0) else Long.MaxValue
+    var curDoc: Long = if (nBlocks > 0) run.firsts(0) else Long.MaxValue
     private var decoded = false
 
     @inline def exhausted: Boolean = bi >= nBlocks
 
     @inline private def decodeCur(): Unit = {
       if (!decoded) {
-        ids = Codec.decodeDeltaVarByte(idBytes(bi), ns(bi))
-        imps = Codec.decodeFloats(impBytes(bi))
+        ids = run.ids(bi)
+        imps = null
         pos = 0
         decoded = true
       }
     }
 
-    def curContrib: Double = { decodeCur(); imps(pos) * qtf }
+    def curContrib: Double = {
+      decodeCur()
+      if (imps == null) imps = run.imps(bi)
+      imps(pos) * qtf
+    }
     /** max impact of the current block × qtf (block-max refinement). */
-    def curBlockUb: Double = if (exhausted) 0.0 else maxs(bi) * qtf
+    def curBlockUb: Double = if (exhausted) 0.0 else run.maxs(bi) * qtf
 
     def advance(): Unit = {
       if (exhausted) return
@@ -297,7 +341,7 @@ object Wand {
       pos += 1
       if (pos >= ids.length) {
         bi += 1; decoded = false
-        curDoc = if (bi < nBlocks) firsts(bi) else Long.MaxValue
+        curDoc = if (bi < nBlocks) run.firsts(bi) else Long.MaxValue
       } else curDoc = ids(pos)
     }
 
@@ -305,11 +349,11 @@ object Wand {
     def advanceTo(target: Long): Unit = {
       if (exhausted || curDoc >= target) return
       // skip whole blocks via metadata (primitive array reads)
-      if (lasts(bi) < target) {
+      if (run.lasts(bi) < target) {
         decoded = false
-        while (bi < nBlocks && lasts(bi) < target) bi += 1
+        while (bi < nBlocks && run.lasts(bi) < target) bi += 1
         if (bi >= nBlocks) { curDoc = Long.MaxValue; return }
-        if (firsts(bi) >= target) { curDoc = firsts(bi); return }
+        if (run.firsts(bi) >= target) { curDoc = run.firsts(bi); return }
       }
       decodeCur()
       // binary search within block
@@ -321,15 +365,15 @@ object Wand {
       pos = lo
       if (pos >= ids.length) {
         bi += 1; decoded = false
-        curDoc = if (bi < nBlocks) firsts(bi) else Long.MaxValue
+        curDoc = if (bi < nBlocks) run.firsts(bi) else Long.MaxValue
       } else curDoc = ids(pos)
     }
   }
 
   /** Unpack a postings Row (term, salt, df, count, maxImpact, blocks) into a
-    * Cursor for the given query-term weight.
+    * SharedRun — once per (term, salt) per task, shared by all queries.
     */
-  def cursorOf(r: Row, qtf: Double): Cursor = {
+  def runOf(r: Row): SharedRun = {
     val maxImpact = r.getAs[Float]("maxImpact")
     val blocks = r.getSeq[Row](r.fieldIndex("blocks"))
     val nb = blocks.length
@@ -344,16 +388,16 @@ object Wand {
       idB(i) = b.getAs[Array[Byte]](4); impB(i) = b.getAs[Array[Byte]](5)
       i += 1
     }
-    new Cursor(qtf, maxImpact * qtf, firsts, lasts, maxs, ns, idB, impB)
+    new SharedRun(maxImpact, firsts, lasts, maxs, ns, idB, impB)
   }
 
-  /** Top-k for one query over one salt's term→cursor-factory map. Emits up
+  /** Top-k for one query over one salt's term→run map. Emits up
     * to k (qid, docIntId, score) candidates (merged by TopKAggregator).
     */
   def topkForQuery(qid: String, qterms: Array[(String, Double)],
-                   byTerm: Map[String, Row], k: Int): Iterator[(String, Long, Double)] = {
+                   byTerm: Map[String, SharedRun], k: Int): Iterator[(String, Long, Double)] = {
     val cs: Array[Cursor] = qterms.flatMap { case (t, qtf) =>
-      byTerm.get(t).map(r => cursorOf(r, qtf))
+      byTerm.get(t).map(run => new Cursor(qtf, run))
     }
     if (cs.isEmpty) return Iterator.empty
 
