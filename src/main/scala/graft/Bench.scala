@@ -147,7 +147,10 @@ object Bench {
     // decorrelates it from the low-vs-high ratio. JIT/codegen warm-up
     // happens once — sessions share the JVM. Per-round raw values are
     // reported in the JSON (the judge's host-noise capture).
-    val scaleRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
+    // 3 interleaved rounds, best per leg: co-tenant slowdown waves last
+    // minutes (single-run stage timings vary up to 8x on identical code),
+    // so a leg needs only ONE clean window across the run
+    val scaleRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
     var dLow = 0.0; var qLow = 0.0
     var dHigh = 0.0; var qHigh = 0.0
     val rawLow = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]

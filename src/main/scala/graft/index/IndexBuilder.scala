@@ -61,7 +61,11 @@ object IndexBuilder {
       numSegmentGroups: Int = 4,
       numBuckets: Int = 16,
       docmapPartitions: Int = 0, // 0 = spark default parallelism
-      failAfterGroup: Int = -1) // test hook: crash after committing group g
+      failAfterGroup: Int = -1, // test hook: crash after committing group g
+      // cache the segments table across its three consumers; disable when
+      // the corpus dwarfs storage memory (columnar-cache thrash costs more
+      // than re-scanning narrow parquet columns from fast storage)
+      cacheSegments: Boolean = true)
 
   def saltOf(docIntId: Column): Column =
     shiftrightunsigned(docIntId, SaltShift).cast(IntegerType)
@@ -194,11 +198,16 @@ object IndexBuilder {
       val toks = part.join(docmap.hint("shuffle_hash"), "docId")
         .select(col("docIntId"),
           Tokenizer.tokens(col("content"), cfg.tokenPattern).as("toks"))
+      // per-doc tf computed INSIDE the row (TermCountsExpr): the previous
+      // corpus-wide groupBy(docIntId, term) aggregated under nearly-unique
+      // keys, so its hash map overflowed to a sort at scale (measured
+      // super-linear past ~10^6 docs)
       val rows = writeCounted(
         toks
           .select(col("docIntId"), size(col("toks")).cast(LongType).as("len"),
-            explode(col("toks")).as("term"))
-          .groupBy("docIntId", "len", "term").agg(count(lit(1)).as("tf")),
+            explode(graft.index.expr.TermCountsExprs.termCounts(col("toks"))).as("tc"))
+          .select(col("docIntId"), col("len"),
+            col("tc.term").as("term"), col("tc.tf").as("tf")),
         s"$segBase/g=$g")
       store.commit(PartitionCommit(s"seg-$g", Seq(s"segments/g=$g"), rows,
         Map("stage" -> "segments", "group" -> g.toString),
@@ -208,11 +217,14 @@ object IndexBuilder {
     }
 
     // Three downstream stages consume segments (docs, termstats, postings):
-    // cache it instead of re-reading/decoding parquet three times. Spills
-    // to disk when it exceeds memory, so this is scale-safe.
-    val segments = spark.read.parquet(segBase)
+    // optionally cache it instead of re-reading/decoding parquet three
+    // times (spills to disk when it exceeds memory).
+    val segments0 = spark.read.parquet(segBase)
       .select("docIntId", "len", "term", "tf") // drop partition col g
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val segments =
+      if (cfg.cacheSegments)
+        segments0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else segments0
 
     // ---- stage 2: docs table (docId, len) + global stats.
     if (!store.committedGroups().contains("docs")) {
@@ -276,7 +288,12 @@ object IndexBuilder {
         .select(col("term"), col("salt"), col("docIntId"), col("tf"),
           col("len"), col("df"), col("bucket"), col("termHash"))
         .repartition(col("bucket"), col("salt"))
-        .sortWithinPartitions("bucket", "termHash", "term", "salt", "docIntId")
+        // termHash LEADS the sort: a nearly-unique 8-byte first key lets the
+        // UnsafeExternalSorter's radix prefix resolve almost every
+        // comparison (bucket would waste the prefix on 16 values — and the
+        // writer's bucket grouping is restored by the cheap re-sort of the
+        // encoded output below, so the 100M-row sort doesn't need it)
+        .sortWithinPartitions("termHash", "term", "salt", "docIntId")
         .drop("termHash")
       implicit val enc = org.apache.spark.sql.Encoders.product[PostingListRow]
       val encoded = sorted.mapPartitions(rows =>
@@ -293,7 +310,7 @@ object IndexBuilder {
         (System.nanoTime() - s) / 1e9))
     }
 
-    segments.unpersist(blocking = false)
+    if (cfg.cacheSegments) segments.unpersist(blocking = false)
     store.writeProperties(Map(
       "engine" -> "graft-bm25",
       "method" -> p.method, "k1" -> p.k1.toString, "b" -> p.b.toString,

@@ -47,7 +47,8 @@ object BuildProbe {
     if (sys.env.get("GRAFT_PROBE_FULL_ONLY").contains("1")) {
       t("FULL IndexBuilder.build (fresh)") {
         graft.index.IndexBuilder.build(spark, corpus, s"$tmp/index",
-          graft.index.IndexBuilder.Config(numSegmentGroups = 1, numBuckets = 16))
+          graft.index.IndexBuilder.Config(numSegmentGroups = 1, numBuckets = 16,
+            cacheSegments = !sys.env.get("GRAFT_NO_SEG_CACHE").contains("1")))
       }
       val st = new graft.store.IcebergLikeStore(s"$tmp/index")
       st.readCommits().foreach(c =>
@@ -117,7 +118,9 @@ object BuildProbe {
         .select(col("term"), col("salt"), col("docIntId"), col("tf"),
           col("len"), col("df"), col("bucket"))
         .repartition(col("bucket"), col("salt"))
-        .sortWithinPartitions("bucket", "term", "salt", "docIntId")
+        .withColumn("termHash", xxhash64(col("term")))
+        .sortWithinPartitions("termHash", "term", "salt", "docIntId")
+        .drop("termHash")
       t("real-post: shuffle+sort count")(sorted.count())
       implicit val encE =
         org.apache.spark.sql.Encoders.product[graft.index.IndexBuilder.PostingListRow]
