@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.index.IndexBuilder
+import graft.query.{BM25Index, QueryEngine}
+import graft.util.SynthCorpus
+
+/** Shared bench machinery for the main bench (graft.Bench) and the
+  * per-leg subprocess (graft.BenchLeg).
+  */
+private[graft] object BenchCore {
+
+  /** Working dir for bench corpora/indexes and shuffle files: tmpfs when
+    * available — the sandbox stand-in for a cluster node's local NVMe; the
+    * VM's single virtual disk would otherwise dominate the measurement.
+    */
+  val workBase: String = {
+    val shm = new java.io.File("/dev/shm")
+    val base = sys.env.get("GRAFT_TMPDIR").orElse(
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-bench") else None)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    new java.io.File(base).mkdirs()
+    base
+  }
+
+  def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", s"$workBase/spark-local-$cpus")
+      .config("spark.ui.enabled", "false")
+      // Small input splits so the staged corpus scan yields >= 2x cores
+      // tasks at EVERY parallelism level: with the 128 MB default the
+      // corpus collapses to ~3 splits, which makes IndexBuilder repartition
+      // the full content payload at one leg size but not the other — an
+      // asymmetric cost that corrupts the scaling ratio.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Build + batch-query throughput at one parallelism level. The corpus is
+    * generated distributed and staged as parquet first (untimed), so the
+    * timed build measures scan→tokenize→index exactly as a real table read
+    * would, not driver-side LocalTableScan serialization. Builds and query
+    * batches are measured `reps` times and the BEST taken — the sandbox VM
+    * is co-tenant (6-11% steal observed) and min is the standard
+    * noise-robust throughput estimator.
+    */
+  def bm25Pass(spark: SparkSession, nDocs: Int, nQueryBatch: Int,
+               k: Int = 1000, reps: Int = 2): (Double, Double, Seq[Double]) = {
+    import spark.implicits._
+    // shuffle partitions sized to the DATA, not the core count (as on a
+    // real cluster) — identical per-task volumes at both parallelism
+    // levels, so the scaling legs measure CPU, not spill behavior
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    val filesPerRepo = 100
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(workBase), "bench").toString
+    spark.range(0, nDocs, 1, spark.sparkContext.defaultParallelism * 2)
+      .as[Long]
+      .map(i => SynthCorpus.docOf((i / filesPerRepo).toInt, (i % filesPerRepo).toInt))
+      .write.parquet(s"$tmp/corpus")
+    val corpus = spark.read.parquet(s"$tmp/corpus")
+      .selectExpr("concat(repo, ':', path, '@', commit) as docId", "content")
+
+    val buildSec = (1 to reps).map { r =>
+      val dir = s"$tmp/index-$r"
+      time {
+        IndexBuilder.build(spark, corpus, dir,
+          IndexBuilder.Config(numSegmentGroups = 1, numBuckets = 16))
+      }._2
+    }.min
+    val idx = new BM25Index(spark, s"$tmp/index-1")
+
+    val base = SynthCorpus.queries
+    val batch = (0 until nQueryBatch).map { i =>
+      val (qid, q) = base(i % base.size); (f"$qid-rep$i%04d", q)
+    }
+    val qdf = batch.toDF("qid", "query")
+    // pre-warm: populates the index's docs cache + codegen outside the
+    // timed window (cache build is a one-off per index, not per batch)
+    QueryEngine.searchWand(idx, Seq(batch.head).toDF("qid", "query"), k).count()
+    val querySec = (1 to reps).map { _ =>
+      time { QueryEngine.searchWand(idx, qdf, k).count() }._2
+    }.min
+
+    // per-query latency sample (each call = its own Spark jobs; honest
+    // Spark-side latency incl. planning)
+    val lats = base.take(20).map { case (qid, q) =>
+      val one = Seq((qid, q)).toDF("qid", "query")
+      time { QueryEngine.searchWand(idx, one, k).count() }._2
+    }
+    graft.util.Dirs.deleteRecursively(new java.io.File(tmp))
+    (nDocs / buildSec, batch.size / querySec, lats)
+  }
+}
+
+/** One scaling leg in its OWN JVM (spawned by Bench): `-XX:
+  * ActiveProcessorCount=N` sizes GC/thread pools to the emulated node, so
+  * the low leg cannot borrow the host's 32 cores for collection — the
+  * closest sandbox analogue of submitting the same job to an N-executor
+  * vs 4N-executor cluster. Prints one line: `LEG {"dps":…,"qps":…}`.
+  *
+  * Args: cpus nDocs nQueryBatch
+  */
+object BenchLeg {
+  def main(args: Array[String]): Unit = {
+    val Array(cpus, nDocs, nQueryBatch) = args.map(_.toInt)
+    val spark = BenchCore.session(cpus)
+    BenchCore.bm25Pass(spark, math.max(2000, nDocs / 20), 50, reps = 1) // JIT warmup
+    val (dps, qps, _) = BenchCore.bm25Pass(spark, nDocs, nQueryBatch, reps = 1)
+    spark.stop()
+    println(f"""LEG {"dps":$dps%.1f,"qps":$qps%.1f}""")
+  }
+}
