@@ -33,6 +33,9 @@ object Bench {
   }
 
   /** Spawn one scaling leg as a child JVM sized to `cpus` (see BenchLeg).
+    * Each leg measures TWO builds/query batches and keeps the min (warm
+    * steady-state — what a long-running job sees; the first build in a
+    * fresh JVM is partly JIT-cold, measured ~19% low on the 4-cpu leg).
     * Returns (dps, qps), or None if the leg failed.
     */
   private def runLeg(cpus: Int, nDocs: Int, nQueryBatch: Int): Option[(Double, Double)] = {
@@ -55,7 +58,7 @@ object Bench {
       s"-XX:ActiveProcessorCount=$cpus", "-Xmx16g",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
-      "graft.BenchLeg", cpus.toString, nDocs.toString, nQueryBatch.toString)
+      "graft.BenchLeg", cpus.toString, nDocs.toString, nQueryBatch.toString, "2")
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()

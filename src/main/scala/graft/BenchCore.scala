@@ -61,7 +61,8 @@ private[graft] object BenchCore {
     // shuffle partitions sized to the DATA, not the core count (as on a
     // real cluster) — identical per-task volumes at both parallelism
     // levels, so the scaling legs measure CPU, not spill behavior
-    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_SHUF", "64"))
     val filesPerRepo = 100
     val tmp = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(workBase), "bench").toString
@@ -114,10 +115,12 @@ private[graft] object BenchCore {
   */
 object BenchLeg {
   def main(args: Array[String]): Unit = {
-    val Array(cpus, nDocs, nQueryBatch) = args.map(_.toInt)
+    val cpus = args(0).toInt; val nDocs = args(1).toInt
+    val nQueryBatch = args(2).toInt
+    val reps = if (args.length > 3) args(3).toInt else 1
     val spark = BenchCore.session(cpus)
     BenchCore.bm25Pass(spark, math.max(2000, nDocs / 20), 50, reps = 1) // JIT warmup
-    val (dps, qps, _) = BenchCore.bm25Pass(spark, nDocs, nQueryBatch, reps = 1)
+    val (dps, qps, _) = BenchCore.bm25Pass(spark, nDocs, nQueryBatch, reps = reps)
     spark.stop()
     println(f"""LEG {"dps":$dps%.1f,"qps":$qps%.1f}""")
   }

@@ -62,10 +62,13 @@ object IndexBuilder {
       numBuckets: Int = 16,
       docmapPartitions: Int = 0, // 0 = spark default parallelism
       failAfterGroup: Int = -1, // test hook: crash after committing group g
-      // cache the segments table across its three consumers; disable when
-      // the corpus dwarfs storage memory (columnar-cache thrash costs more
-      // than re-scanning narrow parquet columns from fast storage)
-      cacheSegments: Boolean = true)
+      // cache the segments table across its three consumers. Default OFF:
+      // each consumer column-prunes a different subset, and re-scanning
+      // narrow parquet columns measured FASTER than materializing the full
+      // 4-column columnar cache (the first consumer pays the cache build —
+      // docs stage 21.5s cached vs 5.6s uncached at 2.4M docs), besides the
+      // eviction cliff once the corpus outgrows storage memory.
+      cacheSegments: Boolean = false)
 
   def saltOf(docIntId: Column): Column =
     shiftrightunsigned(docIntId, SaltShift).cast(IntegerType)
@@ -167,14 +170,18 @@ object IndexBuilder {
       if (corpus.rdd.getNumPartitions < P) corpus.repartition(P, col("docId"))
       else corpus
 
-    // ---- stage 0: docmap — deterministic surrogate ids in docId order.
-    // Column-pruned scan (only docId); one range shuffle of narrow rows.
+    // ---- stage 0: docmap — deterministic surrogate ids. Column-pruned
+    // scan (only docId); one HASH shuffle of narrow rows + per-partition
+    // sort. Hash instead of range: ids only need to be deterministic
+    // (hash(docId) partitioning + sorted-within-partition is), not globally
+    // docId-ordered, and repartitionByRange would execute the child an
+    // extra time to sample range bounds — pure fixed cost per build.
     val docmapPath = s"$indexDir/docmap"
     if (!store.committedGroups().contains("docmap")) {
       val s = System.nanoTime()
       val n = writeCounted(
         corpus.select(col("docId")) // column-pruned: only docId shuffles here
-          .repartitionByRange(P, col("docId"))
+          .repartition(P, col("docId"))
           .sortWithinPartitions("docId")
           .withColumn("docIntId", monotonically_increasing_id())
           .withColumn("salt", saltOf(col("docIntId"))),

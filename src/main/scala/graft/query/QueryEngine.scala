@@ -75,15 +75,29 @@ object QueryEngine {
         explode(Tokenizer.tokens(col("query"), index.tokenPattern)).as("term"))
       .groupBy("qid", "term").agg(count(lit(1)).cast("double").as("qtf"))
 
+  /** Above this many distinct terms, the candidate filter switches from an
+    * In() literal (term pushdown to parquet row groups) to a broadcast
+    * semi-join: a 100k-term In literal bloats plan size/planning time and
+    * the row-group stats stop helping at that selectivity anyway.
+    */
+  def maxInTerms(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.maxInTerms").map(_.toInt).getOrElse(8192)
+
   /** Candidate posting rows for the given term set, with bucket partition
     * pruning (terms hash to a known bucket subset) and term pushdown.
     */
   private def candidates(index: BM25Index, terms: Seq[String]): DataFrame = {
     val buckets = terms
       .map(t => graft.util.Hashing.bucketOfTerm(t, index.numBuckets)).distinct
-    index.postings
+    val byBucket = index.postings
       .where(col("bucket").isInCollection(buckets))
-      .where(col("term").isInCollection(terms))
+    if (terms.size <= maxInTerms(index.spark))
+      byBucket.where(col("term").isInCollection(terms))
+    else {
+      import index.spark.implicits._
+      byBucket.join(
+        broadcast(terms.toDF("term").distinct()), Seq("term"), "left_semi")
+    }
   }
 
   private def collectTerms(qt: DataFrame): Seq[String] =
@@ -196,9 +210,11 @@ object QueryEngine {
     // G = 1 (no duplication); on a small index (few salts) queries split
     // into G groups so WAND still fills the cluster — posting rows replicate
     // G× through the shuffle, bounded by 2·parallelism/salts.
-    val G = math.max(1, math.min(qArr.length,
-      (spark.sparkContext.defaultParallelism * 2 + index.numSalts - 1) /
-        math.max(1, index.numSalts)))
+    // `spark.graft.wandGroups` overrides the auto choice (perf experiments).
+    val G = spark.conf.getOption("spark.graft.wandGroups").map(_.toInt)
+      .getOrElse(math.max(1, math.min(qArr.length,
+        (spark.sparkContext.defaultParallelism * 2 + index.numSalts - 1) /
+          math.max(1, index.numSalts))))
     val cand = candidates(index, terms)
       .select(col("term"), col("salt"), col("maxImpact"), col("blocks"))
       .crossJoin(broadcast(spark.range(G).select(col("id").cast("int").as("qgrp"))))

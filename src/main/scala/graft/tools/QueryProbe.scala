@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.index.expr.CodecExprs
+import graft.query.{BM25Index, QueryEngine}
+import graft.util.SynthCorpus
+
+/** Stage-by-stage probe of the QUERY path at the reference's k=1000 depth:
+  * separates candidate scan + block decode, the WAND kernel fan-out, and
+  * the finish (heap merge + docId-resolution join) so optimization targets
+  * the measured bottleneck, not a guessed one.
+  *
+  * Usage: runMain graft.tools.QueryProbe [cpus nDocs nQueries k]
+  * Env: GRAFT_WAND_GROUPS to pin the query-group fan-out G.
+  */
+object QueryProbe {
+  def t[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val a = f
+    println(f"[qprobe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    a
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.length > 0) args(0).toInt else 32
+    val nDocs = if (args.length > 1) args(1).toInt else 480000
+    val nQueries = if (args.length > 2) args(2).toInt else 1200
+    val k = if (args.length > 3) args(3).toInt else 1000
+    val base = sys.env.get("GRAFT_TMPDIR").orElse(
+      if (new java.io.File("/dev/shm").canWrite) Some("/dev/shm/graft-bench") else None)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    new java.io.File(base).mkdirs()
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", s"$base/spark-local-qprobe")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // reuse a cached index for this (nDocs) if present — probe runs iterate
+    val idxDir = s"$base/qprobe-index-$nDocs"
+    if (!new graft.store.IcebergLikeStore(idxDir).isComplete) {
+      t("build index") {
+        spark.range(0, nDocs, 1, cpus * 2).as[Long]
+          .map(i => SynthCorpus.docOf((i / 100).toInt, (i % 100).toInt))
+          .write.mode("overwrite").parquet(s"$base/qprobe-corpus")
+        val corpus = spark.read.parquet(s"$base/qprobe-corpus")
+          .selectExpr("concat(repo, ':', path, '@', commit) as docId", "content")
+        graft.index.IndexBuilder.build(spark, corpus, idxDir,
+          graft.index.IndexBuilder.Config(numSegmentGroups = 1, numBuckets = 16))
+      }
+    }
+    val idx = new BM25Index(spark, idxDir)
+    println(s"[qprobe] numDocs=${idx.numDocs} numSalts=${idx.numSalts} k=$k")
+    sys.env.get("GRAFT_WAND_GROUPS").foreach { g =>
+      spark.conf.set("spark.graft.wandGroups", g)
+      println(s"[qprobe] wandGroups pinned to $g")
+    }
+
+    val baseQ = SynthCorpus.queries
+    val batch = (0 until nQueries).map { i =>
+      val (qid, q) = baseQ(i % baseQ.size); (f"$qid-rep$i%04d", q)
+    }
+    val qdf = batch.toDF("qid", "query").cache()
+    qdf.count()
+
+    // distinct terms of the batch (what candidates() scans for)
+    val terms = qdf
+      .select(explode(graft.tokenize.Tokenizer.tokens(col("query"), idx.tokenPattern)).as("term"))
+      .distinct().as[String].collect().toSeq
+    println(s"[qprobe] distinct query terms: ${terms.length}")
+
+    // 1. candidate postings scan only (no decode): bytes off parquet
+    val buckets = terms.map(tm => graft.util.Hashing.bucketOfTerm(tm, idx.numBuckets)).distinct
+    def cand = idx.postings
+      .where(col("bucket").isInCollection(buckets))
+      .where(col("term").isInCollection(terms))
+    t("warm fs cache: candidates scan")(cand.count())
+    t("candidates scan (no decode)")(cand.count())
+    val nPostings = cand.agg(sum("count")).head().getLong(0)
+    println(s"[qprobe] candidate posting entries: $nPostings")
+
+    // 2. scan + full block decode at G=1 (sum over decoded ids defeats DCE)
+    t("scan + decode all blocks once") {
+      // element_at is a cheap codegen consumer that still forces the decode
+      // (an interpreted HOF like aggregate() would dominate the timing)
+      cand.select(explode(col("blocks")).as("b"))
+        .select(CodecExprs.varbyteDecode(col("b.ids"), col("b.n")).as("ids"),
+          CodecExprs.floatsDecode(col("b.imps")).as("imps"))
+        .select((element_at(col("ids"), -1) + element_at(col("imps"), -1)).as("s"))
+        .agg(sum("s")).head()
+    }
+
+    // 3..5. full paths, twice each (second run = warm)
+    for (r <- 1 to 2) {
+      t(s"searchWand run$r")(QueryEngine.searchWand(idx, qdf, k).count())
+    }
+    t("searchExact run1")(QueryEngine.searchExact(idx, qdf, k).count())
+
+    // 6. WAND without the finish stage: count partial candidates via a
+    //    qid-grouped count only (exercises kernel + shuffle, no heap merge,
+    //    no docs join). Approximated by k=small finish? No — instead time
+    //    searchWand at k=10 for the k-dependence of the finish.
+    t("searchWand k=10")(QueryEngine.searchWand(idx, qdf, 10).count())
+
+    spark.stop()
+  }
+}
