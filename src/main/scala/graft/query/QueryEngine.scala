@@ -27,6 +27,7 @@ class BM25Index(val spark: SparkSession, val indexDir: String) {
   val avgdl: Double = props("avgdl").toDouble
   val numBuckets: Int = props("numBuckets").toInt
   val numSalts: Int = props.getOrElse("numSalts", "1").toInt
+  val saltShift: Int = props.getOrElse("saltShift", "20").toInt
 
   def postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
 
@@ -139,17 +140,19 @@ object QueryEngine {
     val qt = queryTerms(index, queries)
     val terms = collectTerms(qt)
     if (terms.isEmpty) return emptyResult(index.spark)
+    // pair expansion via posexplode + element_at (both codegen): zip_with
+    // is CodegenFallback — interpreted per element, measured 460s vs ~8s
+    // for the whole path at 480k docs / 9.5M candidate postings
     val cand = candidates(index, terms)
       .select(col("term"), explode(col("blocks")).as("block"))
       .select(col("term"),
         CodecExprs.varbyteDecode(col("block.ids"), col("block.n")).as("ids"),
         CodecExprs.floatsDecode(col("block.imps")).as("imps"))
       .join(broadcast(qt), "term")
-      .select(col("qid"), col("qtf"),
-        explode(zip_with(col("ids"), col("imps"),
-          (i, s) => struct(i.as("d"), s.as("s")))).as("pair"))
-      .select(col("qid"), col("pair.d").as("docIntId"),
-        (col("pair.s") * col("qtf")).as("contrib"))
+      .select(col("qid"), col("qtf"), col("imps"),
+        posexplode(col("ids")).as(Seq("pos", "docIntId")))
+      .select(col("qid"), col("docIntId"),
+        (element_at(col("imps"), col("pos") + 1) * col("qtf")).as("contrib"))
     val scored = cand.groupBy("qid", "docIntId")
       .agg(sum("contrib").as("score"))
     finishTopK(index, scored, k, nQueries * k)
@@ -165,11 +168,25 @@ object QueryEngine {
     spark.conf.getOption("spark.graft.wandQueryChunkRows")
       .map(_.toInt).getOrElse(20000)
 
-  /** WAND path: per-salt document-at-a-time pruned scan. */
-  def searchWand(index: BM25Index, queries: DataFrame, k: Int): DataFrame = {
+  /** At k ≥ this, the per-salt kernel switches from document-at-a-time WAND
+    * to term-at-a-time dense accumulation (Wand.SaltTaat): deep-k thresholds
+    * rise too slowly for block-max skipping to pay for cursor overhead —
+    * the regime where the reference's own fast engine (bm25s) scores all
+    * docs and argpartitions (benchmark/on_bm25s.py:144-150).
+    */
+  def scoreAllMinK(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.scoreAllMinK")
+      .map(_.toInt).getOrElse(128)
+
+  /** Tokenized query chunks for the WAND/TAAT path (driver-side arrays).
+    * Small batches: one collect (the common interactive/bench case).
+    * Large batches: stream partition-sized chunks through the driver —
+    * toLocalIterator runs a job per partition, so size partitions to the
+    * chunk target first; driver memory stays bounded by one chunk.
+    */
+  private[graft] def queryChunks(index: BM25Index, queries: DataFrame,
+                                 nQueries: Long): Iterator[Array[(String, Array[(String, Double)])]] = {
     val spark = index.spark
-    val nQueries = queries.count()
-    if (nQueries == 0) return emptyResult(spark)
     val qt = queryTerms(index, queries)
     val grouped = qt
       .groupBy("qid").agg(collect_list(struct(col("term"), col("qtf"))).as("ts"))
@@ -177,18 +194,20 @@ object QueryEngine {
     def decode(r: Row): (String, Array[(String, Double)]) =
       (r.getString(0),
         r.getSeq[Row](1).map(t => (t.getString(0), t.getDouble(1))).toArray)
-    // Small batches: one collect (the common interactive/bench case).
-    // Large batches: stream partition-sized chunks through the driver —
-    // toLocalIterator runs a job per partition, so size partitions to the
-    // chunk target first; driver memory stays bounded by one chunk.
-    val chunks: Iterator[Array[(String, Array[(String, Double)])]] =
-      if (nQueries <= chunkRows) Iterator(grouped.collect().map(decode))
-      else {
-        val nParts = math.max(1, ((nQueries + chunkRows - 1) / chunkRows).toInt)
-        grouped.repartition(nParts).toLocalIterator().asScala
-          .map(decode).grouped(chunkRows).map(_.toArray)
-      }
-    val partials = chunks.filter(_.nonEmpty)
+    if (nQueries <= chunkRows) Iterator(grouped.collect().map(decode))
+    else {
+      val nParts = math.max(1, ((nQueries + chunkRows - 1) / chunkRows).toInt)
+      grouped.repartition(nParts).toLocalIterator().asScala
+        .map(decode).grouped(chunkRows).map(_.toArray)
+    }
+  }
+
+  /** WAND path: per-salt document-at-a-time pruned scan. */
+  def searchWand(index: BM25Index, queries: DataFrame, k: Int): DataFrame = {
+    val spark = index.spark
+    val nQueries = queries.count()
+    if (nQueries == 0) return emptyResult(spark)
+    val partials = queryChunks(index, queries, nQueries).filter(_.nonEmpty)
       .map(qArr => wandPartials(index, qArr, k)).toSeq
     if (partials.isEmpty) return emptyResult(spark)
     val all = partials.reduce(_.unionByName(_))
@@ -198,7 +217,7 @@ object QueryEngine {
   /** One chunk's WAND partial candidates: (qid, docIntId, score), ≤ k per
     * (query, salt) before the global heap merge in finishTopK.
     */
-  private def wandPartials(index: BM25Index,
+  private[graft] def wandPartials(index: BM25Index,
                            qArr: Array[(String, Array[(String, Double)])],
                            k: Int): DataFrame = {
     val spark = index.spark
@@ -206,40 +225,101 @@ object QueryEngine {
     val bq = spark.sparkContext.broadcast(qArr)
     val kk = k
 
-    // Parallelism = salts × query groups. At index scale salts ≫ cores and
-    // G = 1 (no duplication); on a small index (few salts) queries split
-    // into G groups so WAND still fills the cluster — posting rows replicate
-    // G× through the shuffle, bounded by 2·parallelism/salts.
-    // `spark.graft.wandGroups` overrides the auto choice (perf experiments).
-    val G = spark.conf.getOption("spark.graft.wandGroups").map(_.toInt)
+    val useTaat = k >= scoreAllMinK(spark)
+    val shift = index.saltShift
+    val P2 = spark.sparkContext.defaultParallelism * 2
+
+    // Parallelism = salt buckets × query groups. At index scale salts ≫
+    // cores and G = 1 (no replicated decode); on a small index queries
+    // split into G groups so the kernel still fills the cluster — posting
+    // rows replicate G× through the shuffle.
+    // Each task merges its queries' per-salt top-k ACROSS every salt it
+    // holds before emitting (per-task qid→heap), so emission is
+    // nQueries × S × k rows — bounded by the BUCKET count S, not numSalts.
+    // At deep k that merge dominates (measured 3.2s of a 5.7s batch at
+    // 36M emission rows), so TAAT mode caps S (deepKSaltBuckets, default 8)
+    // and raises G to keep S×G ≈ 2·parallelism: a little replicated block
+    // decode buys 4× less merge traffic. At 10^12-doc scale the same cap
+    // keeps emission independent of the million-salt index layout.
+    // `spark.graft.wandGroups` overrides G (perf experiments).
+    // default 4: swept {8,4,2,1} at 480k docs × 1200 queries × k=1000 —
+    // S=4 (G=16) balanced replicated-decode against emission best (4.6s
+    // batch vs 6.6s at S=8 and 76s at S=1, where G=64 decodes every
+    // group's blocks 64×)
+    val sCap = spark.conf.getOption("spark.graft.deepKSaltBuckets")
+      .map(_.toInt).getOrElse(4)
+    var G = spark.conf.getOption("spark.graft.wandGroups").map(_.toInt)
       .getOrElse(math.max(1, math.min(qArr.length,
-        (spark.sparkContext.defaultParallelism * 2 + index.numSalts - 1) /
-          math.max(1, index.numSalts))))
+        (P2 + index.numSalts - 1) / math.max(1, index.numSalts))))
+    var S = math.min(index.numSalts.toLong, math.max(1L, P2.toLong / G)).toInt
+    if (useTaat && S > sCap) {
+      S = sCap
+      G = math.max(G, math.min(qArr.length, (P2 + S - 1) / S))
+    }
+    val nParts = S * G
+
     val cand = candidates(index, terms)
       .select(col("term"), col("salt"), col("maxImpact"), col("blocks"))
       .crossJoin(broadcast(spark.range(G).select(col("id").cast("int").as("qgrp"))))
-      .repartition(col("salt"), col("qgrp"))
+      // hash the salt before bucketing: salt VALUES are sparse multiples
+      // (docIntId's high bits = docmap partition id << bits), so a plain
+      // pmod(salt, S) collapses every salt into bucket 0
+      .withColumn("sbucket", pmod(hash(col("salt")), lit(S)))
+      .repartition(nParts, col("sbucket"), col("qgrp"))
       // sorted runs let mapPartitions stream one (salt, qgrp) group at a
       // time instead of materializing the whole partition (external sort —
       // spills, never OOMs)
       .sortWithinPartitions("salt", "qgrp")
+      .drop("sbucket")
+
+    // Cap on buffered per-task heap rows before an early emit-and-clear
+    // (bounds task memory for huge query chunks; duplicates are merged
+    // again by finishTopK's aggregate, so early emission stays correct).
+    val maxHeapRows = spark.conf.getOption("spark.graft.taskHeapMaxRows")
+      .map(_.toLong).getOrElse(4L << 20)
 
     implicit val enc = Encoders.product[(String, Long, Double)]
     cand.mapPartitions { rows =>
       // rows arrive sorted by (salt, qgrp): buffer exactly one run at a time
       // — the same working set the WAND cursors need anyway.
+      // TAAT accumulator buffers are reused across every group of the task.
+      lazy val taat = new Wand.SaltTaat(shift, kk)
+      val agg = new TopKAggregator(kk)
+      val heaps = new java.util.HashMap[String, TopKBuf]()
+      var heapRows = 0L
+      def mergeIn(it: Iterator[(String, Long, Double)]): Unit =
+        it.foreach { case (qid, d, s) =>
+          var h = heaps.get(qid)
+          if (h == null) { h = agg.zero; heaps.put(qid, h) }
+          val before = h.size
+          agg.insert(h, d, s)
+          heapRows += h.size - before
+        }
+      def drainHeaps(): Iterator[(String, Long, Double)] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+        heaps.forEach { (qid, h) =>
+          var i = 0
+          while (i < h.size) { out += ((qid, h.docIds(i), h.scores(i))); i += 1 }
+        }
+        heaps.clear(); heapRows = 0L
+        out.iterator
+      }
+
       val runs = new RunGroupIterator(rows, r => (r.getInt(1), r.getInt(4)))
-      runs.flatMap { case ((_, qgrp), srows) =>
+      val perGroup = runs.flatMap { case ((salt, qgrp), srows) =>
         // unpack each (term, salt) run ONCE; all queries of the group share
         // its decoded blocks through SharedRun's cache
         val byTerm: Map[String, Wand.SharedRun] =
           srows.map(r => r.getString(0) -> Wand.runOf(r)).toMap
-        bq.value.iterator.flatMap { case (qid, qterms) =>
-          if (math.floorMod(qid.hashCode, G) == qgrp)
-            Wand.topkForQuery(qid, qterms, byTerm, kk)
-          else Iterator.empty
+        bq.value.iterator.foreach { case (qid, qterms) =>
+          if (math.floorMod(qid.hashCode, G) == qgrp) {
+            if (useTaat) mergeIn(taat.topkForQuery(qid, qterms, byTerm, salt))
+            else mergeIn(Wand.topkForQuery(qid, qterms, byTerm, kk))
+          }
         }
+        if (heapRows > maxHeapRows) drainHeaps() else Iterator.empty
       }
+      perGroup ++ drainHeaps()
     }.toDF("qid", "docIntId", "score")
   }
 
@@ -479,4 +559,71 @@ object Wand {
 
   private def drain(qid: String, agg: TopKAggregator, heap: TopKBuf) =
     agg.finish(heap).iterator.map(h => (qid, h.docId, h.score))
+
+  /** Term-at-a-time dense-accumulator kernel over one salt — the deep-k
+    * twin of WAND's document-at-a-time loop (selected by
+    * QueryEngine.scoreAllMinK). At k=1000 over a corpus-scale index the
+    * heap threshold rises too slowly for block-max skipping to recoup
+    * cursor costs; dense accumulation pays ~one FMA + one array write per
+    * posting instead — the same regime call the reference's fast engine
+    * makes with its score-all + argpartition (benchmark/on_bm25s.py:144-150,
+    * on_rank_bm25.py:25-46).
+    *
+    * One instance per task, buffers reused across (salt, qgrp) groups and
+    * queries: acc is O(2^saltShift) doubles (8 MiB at the default shift —
+    * per TASK, not per query), the epoch array makes per-query reset O(1),
+    * and the touched list bounds the selection pass by docs actually hit,
+    * not salt width. Decoded blocks are shared across the group's queries
+    * via SharedRun exactly as in the WAND path.
+    */
+  final class SaltTaat(saltShift: Int, k: Int) {
+    private val width = 1 << saltShift
+    private val mask = (1L << saltShift) - 1
+    private val acc = new Array[Double](width)
+    private val epoch = new Array[Int](width)
+    private val touched = new Array[Int](width)
+    private var cur = 0
+    private val agg = new TopKAggregator(k)
+
+    def topkForQuery(qid: String, qterms: Array[(String, Double)],
+                     byTerm: Map[String, SharedRun],
+                     salt: Int): Iterator[(String, Long, Double)] = {
+      cur += 1
+      var nTouched = 0
+      var ti = 0
+      while (ti < qterms.length) {
+        val (t, qtf) = qterms(ti)
+        byTerm.get(t) match {
+          case Some(run) =>
+            var bi = 0
+            while (bi < run.nBlocks) {
+              val ids = run.ids(bi); val imps = run.imps(bi)
+              var i = 0
+              while (i < ids.length) {
+                val off = (ids(i) & mask).toInt
+                if (epoch(off) != cur) {
+                  epoch(off) = cur
+                  acc(off) = imps(i) * qtf
+                  touched(nTouched) = off; nTouched += 1
+                } else acc(off) += imps(i) * qtf
+                i += 1
+              }
+              bi += 1
+            }
+          case None => ()
+        }
+        ti += 1
+      }
+      if (nTouched == 0) return Iterator.empty
+      val saltBase = salt.toLong << saltShift
+      val heap = agg.zero
+      var i = 0
+      while (i < nTouched) {
+        val off = touched(i)
+        agg.insert(heap, saltBase | off, acc(off))
+        i += 1
+      }
+      drain(qid, agg, heap)
+    }
+  }
 }

@@ -58,6 +58,13 @@ object QueryProbe {
       spark.conf.set("spark.graft.wandGroups", g)
       println(s"[qprobe] wandGroups pinned to $g")
     }
+    // arbitrary conf overrides, e.g. GRAFT_SPARK_CONF="spark.graft.broadcastHitsMaxRows=4000000"
+    sys.env.get("GRAFT_SPARK_CONF").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(ck, cv) = kv.split("=", 2)
+        spark.conf.set(ck, cv)
+        println(s"[qprobe] conf $ck=$cv")
+      }
 
     val baseQ = SynthCorpus.queries
     val batch = (0 until nQueries).map { i =>
@@ -93,11 +100,63 @@ object QueryProbe {
         .agg(sum("s")).head()
     }
 
+    // 2b. kernel + emission WITHOUT the top-k merge / docId join: counts
+    // the raw per-(query,salt) partial candidates
+    val qArr = QueryEngine.queryChunks(idx, qdf, nQueries).next()
+    for (r <- 1 to 2) {
+      t(s"wandPartials only run$r") {
+        val n = QueryEngine.wandPartials(idx, qArr, k).count()
+        if (r == 1) println(s"[qprobe] partial candidate rows: $n")
+      }
+    }
+    if (sys.env.get("GRAFT_QDIAG").contains("3")) {
+      // replicate wandPartials' cand shuffle shape and inspect partitions
+      val S = 8; val G = 4; val nP = S * G
+      val dbg2 = idx.postings.where(col("term").isInCollection(terms))
+        .select(col("term"), col("salt"), col("maxImpact"), col("blocks"))
+        .crossJoin(broadcast(spark.range(G).select(col("id").cast("int").as("qgrp"))))
+        .withColumn("sbucket", pmod(col("salt"), lit(S)))
+        .repartition(nP, col("sbucket"), col("qgrp"))
+        .sortWithinPartitions("salt", "qgrp")
+        .drop("sbucket")
+        .select(spark_partition_id().as("p"), col("salt"), col("qgrp"))
+      dbg2.groupBy("p").agg(countDistinct("salt").as("nsalt"),
+        countDistinct("qgrp").as("ng")).orderBy("p").show(40, false)
+      dbg2.groupBy("qgrp").agg(countDistinct("p").as("nparts")).show(false)
+      println(dbg2.queryExecution.executedPlan.toString.take(6000))
+    }
+    if (sys.env.get("GRAFT_QDIAG").contains("2")) {
+      // partitioner behavior check: does repartition(n, sbucket, qgrp)
+      // actually spread sbuckets across partitions?
+      val dbg = spark.range(0, 16).select(col("id").cast("int").as("salt"))
+        .crossJoin(spark.range(5).select(col("id").cast("int").as("qgrp")))
+        .withColumn("sbucket", pmod(col("salt"), lit(8)))
+        .repartition(40, col("sbucket"), col("qgrp"))
+        .select(spark_partition_id().as("p"), col("sbucket"), col("qgrp"))
+      println("[qprobe] occupied partitions: " +
+        dbg.select("p").distinct().count())
+      dbg.groupBy("p").agg(countDistinct("sbucket").as("nsb"),
+        countDistinct("qgrp").as("ng")).agg(max("nsb"), max("ng")).show(false)
+    }
+    if (sys.env.get("GRAFT_QDIAG").contains("1")) {
+      spark.conf.set("spark.graft.taskHeapMaxRows", "0")
+      println(s"[qprobe] per-group-drain partials: " +
+        QueryEngine.wandPartials(idx, qArr, k).count())
+      spark.conf.unset("spark.graft.taskHeapMaxRows")
+      val p = QueryEngine.wandPartials(idx, qArr, k)
+      p.groupBy("qid").agg(count(lit(1)).as("n"), countDistinct("docIntId").as("nd"))
+        .agg(min("n"), max("n"), avg("n"), min("nd"), max("nd")).show(false)
+      val full = QueryEngine.searchWand(idx, qdf, k)
+      println(s"[qprobe] searchWand row count: ${full.count()}")
+      full.groupBy("qid").count().agg(min("count"), max("count"), avg("count")).show(false)
+    }
+
     // 3..5. full paths, twice each (second run = warm)
     for (r <- 1 to 2) {
       t(s"searchWand run$r")(QueryEngine.searchWand(idx, qdf, k).count())
     }
-    t("searchExact run1")(QueryEngine.searchExact(idx, qdf, k).count())
+    if (!sys.env.get("GRAFT_SKIP_EXACT").contains("1"))
+      t("searchExact run1")(QueryEngine.searchExact(idx, qdf, k).count())
 
     // 6. WAND without the finish stage: count partial candidates via a
     //    qid-grouped count only (exercises kernel + shuffle, no heap merge,

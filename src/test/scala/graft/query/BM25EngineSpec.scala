@@ -114,6 +114,26 @@ class BM25EngineSpec extends SparkTestBase {
     }
   }
 
+  test("kernel cross-check: WAND and TAAT agree at both depths") {
+    // the k>=scoreAllMinK switch picks the TAAT dense-accumulator kernel at
+    // depth and WAND for small k; pin the conf both ways so each kernel is
+    // exercised in the other's regime and both match the scalar reference
+    val idx = new BM25Index(spark, indexDir)
+    try {
+      spark.conf.set("spark.graft.scoreAllMinK", "1") // force TAAT at k=10
+      checkAgainstScalar(collectResults(QueryEngine.searchWand(idx, queriesDf, k)))
+      spark.conf.set("spark.graft.scoreAllMinK", "100000") // force WAND at k=1000
+      import spark.implicits._
+      val q = Seq(("qd", "binary search tree")).toDF("qid", "query")
+      val wand = collectResults(QueryEngine.searchWand(idx, q, 1000))
+      val expected = scalar.topK(Tokenizer.tokenizeScalar("binary search tree"), 1000)
+      assert(wand("qd").size == expected.size)
+      wand("qd").zip(expected).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-4, s"forced-wand score $gs vs $es")
+      }
+    } finally spark.conf.unset("spark.graft.scoreAllMinK")
+  }
+
   test("all-stopword and all-OOV queries yield no rows") {
     val idx = new BM25Index(spark, indexDir)
     import spark.implicits._
