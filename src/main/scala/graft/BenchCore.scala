@@ -76,8 +76,12 @@ private[graft] object BenchCore {
     val buildSec = (1 to reps).map { r =>
       val dir = s"$tmp/index-$r"
       time {
+        // docmap partitions sized to the DATA like shuffle partitions: the
+        // salt layout (and so the query plan shape) is then identical at
+        // every leg size — legs compare cores, not index layouts
         IndexBuilder.build(spark, corpus, dir,
-          IndexBuilder.Config(numSegmentGroups = 1, numBuckets = 16))
+          IndexBuilder.Config(numSegmentGroups = 1, numBuckets = 16,
+            docmapPartitions = 64))
       }._2
     }.min
     val idx = new BM25Index(spark, s"$tmp/index-1")

@@ -252,9 +252,12 @@ object QueryEngine {
       .getOrElse(math.max(1, math.min(qArr.length,
         (P2 + index.numSalts - 1) / math.max(1, index.numSalts))))
     var S = math.min(index.numSalts.toLong, math.max(1L, P2.toLong / G)).toInt
-    if (useTaat && S > sCap) {
-      S = sCap
-      G = math.max(G, math.min(qArr.length, (P2 + S - 1) / S))
+    if (useTaat) {
+      // S CONSTANT in deep-k mode — emission per query (S × k rows) must
+      // not grow with cluster size, or per-query merge work rises with
+      // cores and caps throughput scaling; G alone carries parallelism
+      S = math.min(index.numSalts, sCap)
+      G = math.max(1, math.min(qArr.length, P2 / S))
     }
     val nParts = S * G
 

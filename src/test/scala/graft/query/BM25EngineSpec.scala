@@ -134,6 +134,29 @@ class BM25EngineSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.scoreAllMinK")
   }
 
+  test("chunked large-batch path matches the single-collect path") {
+    // force the toLocalIterator streaming path (chunk=3 queries) and the
+    // per-task early heap drain (taskHeapMaxRows=1): both must be invisible
+    // in the results — finishTopK re-merges early-drained duplicates
+    val idx = new BM25Index(spark, indexDir)
+    val base = collectResults(QueryEngine.searchWand(idx, queriesDf, k))
+    try {
+      spark.conf.set("spark.graft.wandQueryChunkRows", "3")
+      spark.conf.set("spark.graft.taskHeapMaxRows", "1")
+      val chunked = collectResults(QueryEngine.searchWand(idx, queriesDf, k))
+      assert(chunked.keySet == base.keySet)
+      for (qid <- base.keySet) {
+        assert(chunked(qid).map(_._1) == base(qid).map(_._1), s"$qid docs differ")
+        chunked(qid).zip(base(qid)).foreach { case ((_, s1), (_, s2)) =>
+          assert(math.abs(s1 - s2) < 1e-9, s"$qid scores differ")
+        }
+      }
+    } finally {
+      spark.conf.unset("spark.graft.wandQueryChunkRows")
+      spark.conf.unset("spark.graft.taskHeapMaxRows")
+    }
+  }
+
   test("all-stopword and all-OOV queries yield no rows") {
     val idx = new BM25Index(spark, indexDir)
     import spark.implicits._
