@@ -157,6 +157,24 @@ class BM25EngineSpec extends SparkTestBase {
     }
   }
 
+  test("deep-k partial emission is bounded by salt-bucket cap, not numSalts") {
+    // the scale contract: per query the pre-merge candidate rows are at
+    // most min(numSalts, deepKSaltBuckets) × k — independent of how many
+    // salts the index has (at 10^12-doc scale numSalts is ~10^6)
+    val idx = new BM25Index(spark, indexDir)
+    val kk = 7
+    try {
+      spark.conf.set("spark.graft.scoreAllMinK", "1") // force deep-k mode
+      val qArr = QueryEngine.queryChunks(idx, queriesDf, queries.size.toLong).next()
+      val perQid = QueryEngine.wandPartials(idx, qArr, kk)
+        .groupBy("qid").count().collect()
+      perQid.foreach { r =>
+        assert(r.getLong(1) <= math.min(idx.numSalts, 4).toLong * kk,
+          s"${r.getString(0)}: ${r.getLong(1)} partials > bound")
+      }
+    } finally spark.conf.unset("spark.graft.scoreAllMinK")
+  }
+
   test("all-stopword and all-OOV queries yield no rows") {
     val idx = new BM25Index(spark, indexDir)
     import spark.implicits._
