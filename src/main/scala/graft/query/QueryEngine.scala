@@ -184,29 +184,48 @@ object QueryEngine {
     * toLocalIterator runs a job per partition, so size partitions to the
     * chunk target first; driver memory stays bounded by one chunk.
     */
+  private def groupedQueryTerms(index: BM25Index, queries: DataFrame): DataFrame =
+    queryTerms(index, queries)
+      .groupBy("qid").agg(collect_list(struct(col("term"), col("qtf"))).as("ts"))
+
+  private def decodeGrouped(r: Row): (String, Array[(String, Double)]) =
+    (r.getString(0),
+      r.getSeq[Row](1).map(t => (t.getString(0), t.getDouble(1))).toArray)
+
+  /** Tokenized query chunks for the WAND/TAAT path (driver-side arrays).
+    * Large batches stream partition-sized chunks through the driver —
+    * toLocalIterator runs a job per partition, so size partitions to the
+    * chunk target first; driver memory stays bounded by one chunk.
+    */
   private[graft] def queryChunks(index: BM25Index, queries: DataFrame,
                                  nQueries: Long): Iterator[Array[(String, Array[(String, Double)])]] = {
-    val spark = index.spark
-    val qt = queryTerms(index, queries)
-    val grouped = qt
-      .groupBy("qid").agg(collect_list(struct(col("term"), col("qtf"))).as("ts"))
-    val chunkRows = wandQueryChunkRows(spark)
-    def decode(r: Row): (String, Array[(String, Double)]) =
-      (r.getString(0),
-        r.getSeq[Row](1).map(t => (t.getString(0), t.getDouble(1))).toArray)
-    if (nQueries <= chunkRows) Iterator(grouped.collect().map(decode))
+    val grouped = groupedQueryTerms(index, queries)
+    val chunkRows = wandQueryChunkRows(index.spark)
+    if (nQueries <= chunkRows) Iterator(grouped.collect().map(decodeGrouped))
     else {
       val nParts = math.max(1, ((nQueries + chunkRows - 1) / chunkRows).toInt)
       grouped.repartition(nParts).toLocalIterator().asScala
-        .map(decode).grouped(chunkRows).map(_.toArray)
+        .map(decodeGrouped).grouped(chunkRows).map(_.toArray)
     }
   }
 
-  /** WAND path: per-salt document-at-a-time pruned scan. */
+  /** WAND path: per-salt pruned scan (kernel chosen by depth). The common
+    * case (batch fits one chunk) is ONE optimistic limit-collect job — no
+    * separate count() job per call; only over-chunk batches fall back to
+    * a counted streaming pass.
+    */
   def searchWand(index: BM25Index, queries: DataFrame, k: Int): DataFrame = {
     val spark = index.spark
-    val nQueries = queries.count()
-    if (nQueries == 0) return emptyResult(spark)
+    val chunkRows = wandQueryChunkRows(spark)
+    val grouped = groupedQueryTerms(index, queries)
+    val head = grouped.limit(chunkRows + 1).collect()
+    if (head.isEmpty) return emptyResult(spark)
+    if (head.length <= chunkRows) {
+      val qArr = head.map(decodeGrouped)
+      return finishTopK(index, wandPartials(index, qArr, k), k, qArr.length.toLong * k)
+    }
+    // large batch: count once, then stream partition-sized chunks
+    val nQueries = grouped.count()
     val partials = queryChunks(index, queries, nQueries).filter(_.nonEmpty)
       .map(qArr => wandPartials(index, qArr, k)).toSeq
     if (partials.isEmpty) return emptyResult(spark)
