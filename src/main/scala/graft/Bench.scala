@@ -121,6 +121,9 @@ object Bench {
         val (_, sec) = BenchCore.time {
           try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         }
+        // ops pipelines persist multi-consumer intermediates; release them
+        // between queries so timings stay independent of cache pressure
+        spark.catalog.clearCache()
         name -> sec
     }
     spark.stop()
@@ -129,8 +132,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val factor = scaleHigh.toDouble / scaleLow
-    val effD = if (doScaling && dLow > 0) (dHigh / dLow) / factor else -1.0
-    val effQ = if (doScaling && qLow > 0) (qHigh / qLow) / factor else -1.0
+    // -1.0 = missing data (scaling disabled OR a leg never produced a
+    // successful round) — a failed high leg must not masquerade as
+    // catastrophic 0.000 efficiency
+    val legsOk = rawLow.nonEmpty && rawHigh.nonEmpty
+    if (doScaling && !legsOk)
+      System.err.println(s"[bench] scaling legs incomplete: " +
+        s"${rawLow.size}/$scaleRounds low rounds, ${rawHigh.size}/$scaleRounds high rounds")
+    val effD = if (doScaling && legsOk && dLow > 0) (dHigh / dLow) / factor else -1.0
+    val effQ = if (doScaling && legsOk && qLow > 0) (qHigh / qLow) / factor else -1.0
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +

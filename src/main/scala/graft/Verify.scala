@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release intermediates the ops pipelines persist for their own
+      // multi-consumer plans (dedup shingle tables, TrecEval lineage):
+      // without this, pinned cache entries accumulate across queries
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -72,16 +72,18 @@ object Analysis {
     cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c) * 100.0, dp)))
 
   /** Multi-index pivot_table: groupBy(indexCols).pivot(columnCol)
-    * .first(valueCol) — the reference's
+    * .avg(valueCol) — the reference's
     * `pivot_table(index=[...], columns="dataset", values="ndcg@10")`
-    * (generate_comparisons.py:152-155, 192-195). `columnVals` pins the
-    * output columns (explicit values keep the plan one pass).
+    * (generate_comparisons.py:152-155, 192-195), whose pandas default
+    * aggfunc is MEAN — multiple runs per key average instead of picking
+    * an arbitrary one. `columnVals` pins the output columns (explicit
+    * values keep the plan one pass).
     */
   def pivotTable(df: DataFrame, indexCols: Seq[String], columnCol: String,
                  columnVals: Seq[String], valueCol: String): DataFrame =
     df.groupBy(indexCols.map(col): _*)
       .pivot(columnCol, columnVals)
-      .agg(first(col(valueCol)))
+      .agg(avg(col(valueCol)))
 
   /** Prepend the row-average column (`Avg.` first,
     * generate_comparisons.py:157-163,196-203): NULL when any value column

@@ -110,6 +110,21 @@ object DriverQueries {
   def bm25TopkRobertson(spark: SparkSession, sfDir: String): DataFrame =
     bm25TopkMethod(spark, sfDir, graft.score.BM25Params(method = "robertson"))
 
+  /** Remaining §2.6 scoring variants (benchmark/on_bm25s.py:291-297 method
+    * list; okapi = rank_bm25.BM25Okapi, benchmark/on_rank_bm25.py:119-122),
+    * each driver-oracle-checked. bm25l/bm25plus are scored sparse-only
+    * (docs containing ≥1 query term), the engine-wide semantics documented
+    * in SURVEY.md §2.6 — the oracle reproduces exactly that.
+    */
+  def bm25TopkAtire(spark: SparkSession, sfDir: String): DataFrame =
+    bm25TopkMethod(spark, sfDir, graft.score.BM25Params(method = "atire"))
+  def bm25TopkBm25l(spark: SparkSession, sfDir: String): DataFrame =
+    bm25TopkMethod(spark, sfDir, graft.score.BM25Params(method = "bm25l"))
+  def bm25TopkBm25plus(spark: SparkSession, sfDir: String): DataFrame =
+    bm25TopkMethod(spark, sfDir, graft.score.BM25Params(method = "bm25plus"))
+  def bm25TopkOkapi(spark: SparkSession, sfDir: String): DataFrame =
+    bm25TopkMethod(spark, sfDir, graft.score.BM25Params(method = "okapi"))
+
   /** Reusable CTE chain ending in `ranked`, parameterized by the per-term
     * contribution expression (shared by the lucene flagship, the robertson
     * variant, and the eval_metrics oracle in OpsQueries).
@@ -159,6 +174,55 @@ object DriverQueries {
        |SELECT qid, doc_id, score, rank::INT AS rank FROM ranked WHERE rank <= $topK
        |""".stripMargin
   }
+
+  /** Variant contribution formulas (§2.6; k1=$k1, b=$b, delta=0.5),
+    * mirroring graft.score.BM25's Column builders term for term.
+    */
+  private def variantTopkSql(contribSql: String): String =
+    s"""WITH ${bm25RankedCtesFor(contribSql)}
+       |SELECT qid, doc_id, score, rank::INT AS rank FROM ranked WHERE rank <= $topK
+       |""".stripMargin
+
+  private val onePlusK1 = 1.0 + k1 // 2.5
+  private val deltaSql = "0.5"
+  private val cSql = s"tf.tf / $bm25NormSql" // bm25l's c = tf/norm
+
+  val bm25TopkAtireSql: String = variantTopkSql(
+    s"""qtf.qtf * (ln(stats.n / dft.df)
+       |      * (tf.tf * $onePlusK1 / (tf.tf + $k1 * $bm25NormSql)))""".stripMargin)
+
+  val bm25TopkBm25lSql: String = variantTopkSql(
+    s"""qtf.qtf * (ln((stats.n + 1.0) / (dft.df + 0.5))
+       |      * ($onePlusK1 * ($cSql + $deltaSql) / ($k1 + $cSql + $deltaSql)))""".stripMargin)
+
+  val bm25TopkBm25plusSql: String = variantTopkSql(
+    s"""qtf.qtf * (ln((stats.n + 1.0) / dft.df)
+       |      * (tf.tf * $onePlusK1 / ($k1 * $bm25NormSql + tf.tf) + $deltaSql))""".stripMargin)
+
+  val bm25TopkOkapiSql: String = variantTopkSql(
+    s"""qtf.qtf * (greatest(ln((stats.n - dft.df + 0.5)/(dft.df + 0.5)), 0.0)
+       |      * (tf.tf * $onePlusK1 / (tf.tf + $k1 * $bm25NormSql)))""".stripMargin)
+
+  /** Q7 hits→map pivot (benchmark/on_pyserini.py:336-338 `{qid:{docid:
+    * score}}`): the top-k long form pivots into a MapType column via
+    * `map_from_entries`, then round-trips back to long form so the driver
+    * oracle verifies the map's exact content (plus its size).
+    */
+  def bm25HitsMap(spark: SparkSession, sfDir: String): DataFrame = {
+    val hits = bm25TopkComposed(spark, sfDir)
+    hits.groupBy("qid")
+      .agg(map_from_entries(collect_list(struct(col("doc_id"), col("score"))))
+        .as("hits"))
+      .select(col("qid"), size(col("hits")).cast("long").as("n_hits"),
+        explode(col("hits")).as(Seq("doc_id", "score")))
+  }
+
+  val bm25HitsMapSql: String =
+    s"""WITH $bm25RankedCtes,
+       |topk AS (SELECT qid, doc_id, score FROM ranked WHERE rank <= $topK)
+       |SELECT qid, count(*) OVER (PARTITION BY qid)::BIGINT AS n_hits,
+       |  doc_id, score
+       |FROM topk""".stripMargin
 
   // ---- tokenization stats ----------------------------------------------
 
@@ -306,6 +370,11 @@ object DriverQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> (bm25TopkComposed _),
     "bm25_topk_robertson" -> (bm25TopkRobertson _),
+    "bm25_topk_atire" -> (bm25TopkAtire _),
+    "bm25_topk_bm25l" -> (bm25TopkBm25l _),
+    "bm25_topk_bm25plus" -> (bm25TopkBm25plus _),
+    "bm25_topk_okapi" -> (bm25TopkOkapi _),
+    "bm25_hits_map" -> (bm25HitsMap _),
     "tok_doclen" -> (tokDoclen _),
     "term_df" -> (termDf _),
     "corpus_stats" -> (corpusStats _),
@@ -318,6 +387,11 @@ object DriverQueries {
   val oracleSql: Map[String, String] = Map(
     "bm25_topk" -> bm25TopkSql,
     "bm25_topk_robertson" -> bm25TopkRobertsonSql,
+    "bm25_topk_atire" -> bm25TopkAtireSql,
+    "bm25_topk_bm25l" -> bm25TopkBm25lSql,
+    "bm25_topk_bm25plus" -> bm25TopkBm25plusSql,
+    "bm25_topk_okapi" -> bm25TopkOkapiSql,
+    "bm25_hits_map" -> bm25HitsMapSql,
     "tok_doclen" -> tokDoclenSql,
     "term_df" -> termDfSql,
     "corpus_stats" -> corpusStatsSql,

@@ -298,6 +298,68 @@ object OpsQueries {
     """SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents
       |ORDER BY md5('42:' || doc_id), doc_id LIMIT 50""".stripMargin
 
+  // ---- BEIR-format sources (jsonl corpus/queries + qrels TSV) -------------
+
+  /** Per-sfDir staging dir holding a BEIR-shaped rendering of `documents`
+    * (corpus.jsonl / queries.jsonl / qrels.tsv, utils/beir.py:96-111
+    * schemas) — written once per JVM, deterministically derived, so the
+    * read path under test ingests real non-parquet files while the oracle
+    * recomputes the same values straight from the parquet table.
+    */
+  private val beirDirCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def beirDir(spark: SparkSession, sfDir: String): String =
+    beirDirCache.getOrElseUpdate(sfDir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-beir").toString
+      val src = docs(spark, sfDir)
+      src.select(col("doc_id").cast("string").as("_id"),
+          concat(lit("t"), col("doc_id")).as("title"), col("text"))
+        .write.mode("overwrite").json(s"$d/corpus.jsonl")
+      src.select((col("doc_id") % 7).cast("string").as("_id")).distinct()
+        .select(col("_id"), concat(lit("query "), col("_id")).as("text"))
+        .write.mode("overwrite").json(s"$d/queries.jsonl")
+      src.select((col("doc_id") % 7).cast("string").as("query-id"),
+          col("doc_id").cast("string").as("corpus-id"),
+          (col("doc_id") % 3 + 1).cast("int").as("score"))
+        .write.mode("overwrite")
+        .option("sep", "\t").option("header", "true").csv(s"$d/qrels.tsv")
+      d
+    })
+
+  /** corpus.jsonl ingestion through BeirReader (explicit schema, no
+    * inference), including the `title + " " + text` content projection —
+    * fingerprinted so the oracle verifies the round trip byte-exactly.
+    */
+  def beirCorpusJsonl(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.BeirReader
+      .readCorpusContent(spark, s"${beirDir(spark, sfDir)}/corpus.jsonl")
+      .select(col("docId").as("id"),
+        length(col("content")).cast("long").as("n_chars"),
+        substring(md5(col("content").cast("binary")), 1, 16).as("fp16"))
+
+  val beirCorpusJsonlSql: String =
+    """SELECT doc_id::VARCHAR AS id,
+      |  length('t' || doc_id || ' ' || text)::BIGINT AS n_chars,
+      |  substr(md5('t' || doc_id || ' ' || text), 1, 16) AS fp16
+      |FROM documents""".stripMargin
+
+  /** qrels.tsv + queries.jsonl ingestion: header'd TSV with the BEIR
+    * column names, joined to the jsonl queries and aggregated.
+    */
+  def beirQrelsJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = beirDir(spark, sfDir)
+    val qrels = graft.sources.BeirReader.readQrels(spark, s"$d/qrels.tsv")
+    val queries = graft.sources.BeirReader.readQueries(spark, s"$d/queries.jsonl")
+    qrels.join(broadcast(queries), "qid")
+      .groupBy("qid", "query")
+      .agg(count(lit(1)).as("n"), sum(col("grade")).cast("long").as("sum_grade"))
+  }
+
+  val beirQrelsJoinSql: String =
+    """SELECT (doc_id % 7)::VARCHAR AS qid, 'query ' || (doc_id % 7) AS query,
+      |  count(*)::BIGINT AS n, sum(doc_id % 3 + 1)::BIGINT AS sum_grade
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
   // ---- eval + indexed engine (rows-only) ----------------------------------
 
   /** NDCG/MAP/Recall/P of the composed BM25 ranking against qrels derived
@@ -379,14 +441,27 @@ object OpsQueries {
        |  round(avg(p), 5) AS p
        |FROM per GROUP BY 1""".stripMargin
 
-  /** Full index-backed engine over documents (stemmed unicode pipeline,
-    * float32 impacts, WAND) — rows-only driver check; parity vs the scalar
-    * engine is covered in ScalaTest. The built index is cached per sfDir
-    * within the JVM so repeated invocations (Verify then Bench timing the
-    * same entry) pay the build once — matching real usage, where an index
-    * is built once and queried many times.
+  /** Full index-backed engine over documents — IndexBuilder (docmap,
+    * salted posting runs, delta+varbyte blocks, float32 eager impacts) →
+    * WAND retrieval — now DRIVER-ORACLE-CHECKED end to end: the build uses
+    * the ASCII/no-stem pipeline the DuckDB oracle can replicate exactly,
+    * and the oracle quantizes each per-posting impact through REAL
+    * (float32) just like the index payload, so the 4-dp rounded scores
+    * agree deterministically. The stemmed-unicode configuration of the
+    * same engine is exercised by the ScalaTest parity suites.
+    *
+    * The built index is cached per sfDir within the JVM so repeated
+    * invocations (Verify then Bench timing the same entry) pay the build
+    * once — matching real usage, where an index is built once and queried
+    * many times.
     */
   private val indexedDirCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Raw-score candidate buffer retrieved before the rounded re-rank: must
+    * cover every doc that could enter the rounded top-10 (scores within
+    * 5e-5 of the boundary; far wider than float32 noise at these scales).
+    */
+  private val indexedRawK = 50
 
   def bm25TopkIndexed(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = indexedDirCache.getOrElseUpdate(sfDir, {
@@ -394,13 +469,47 @@ object OpsQueries {
       val corpus = docs(spark, sfDir)
         .select(col("doc_id").cast("string").as("docId"), col("text").as("content"))
       graft.index.IndexBuilder.build(spark, corpus, d,
-        graft.index.IndexBuilder.Config(numSegmentGroups = 2, numBuckets = 8))
+        graft.index.IndexBuilder.Config(
+          tokenPattern = Tokenizer.AsciiTokenPattern, stem = false,
+          numSegmentGroups = 2, numBuckets = 8))
       d
     })
     val idx = new graft.query.BM25Index(spark, dir)
     import spark.implicits._
     val q = DriverQueries.bm25Queries.toDF("qid", "query")
-    graft.query.QueryEngine.searchWand(idx, q, 10)
+    // engine returns raw double scores ranked with a surrogate-id
+    // tie-break; re-rank the bounded buffer on the ROUNDED score with the
+    // oracle's (score DESC, doc_id ASC) tie-break (driver convention:
+    // ranks computed on rounded scores on both sides)
+    val raw = graft.query.QueryEngine.searchWand(idx, q, indexedRawK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    raw.select(col("qid"), col("docId").cast("long").as("doc_id"),
+        round(col("score"), 4).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= DriverQueries.bm25TopK)
+      .select(col("qid"), col("doc_id"), col("score"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** DuckDB twin of the indexed engine: identical CTE chain to the
+    * composed-BM25 oracle, with each per-posting impact passed through
+    * REAL — the float32 quantization the index payload applies
+    * (IndexBuilder.RunEncoder `.toFloat`). The qtf multiply and the final
+    * sum stay double on both sides, so order drift is ~1e-16 and the 4-dp
+    * round is stable.
+    */
+  val bm25TopkIndexedSql: String = {
+    // parenthesized to BM25.Scalar.impact's exact double association
+    // (idf * (tf / (tf + k1*norm))) — the float32 cast right after makes
+    // association-order ulp drift the one thing worth eliminating
+    val ctes = DriverQueries.bm25RankedCtesFor(
+      """qtf.qtf * CAST(CAST(ln(1.0 + (stats.n - dft.df + 0.5)/(dft.df + 0.5))
+        |      * (tf.tf / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS REAL) AS DOUBLE)""".stripMargin)
+    s"""WITH $ctes
+       |SELECT qid, doc_id, score, rank::INT AS rank FROM ranked
+       |WHERE rank <= ${DriverQueries.bm25TopK}
+       |""".stripMargin
   }
 
   // ---- registry -----------------------------------------------------------
@@ -423,6 +532,8 @@ object OpsQueries {
     "mm_frame_sample" -> (mmFrameSample _),
     "corpus_merge" -> (corpusMerge _),
     "sample_queries" -> (sampleQueries _),
+    "beir_corpus_jsonl" -> (beirCorpusJsonl _),
+    "beir_qrels_join" -> (beirQrelsJoin _),
     "eval_metrics" -> (evalMetrics _),
     "bm25_topk_indexed" -> (bm25TopkIndexed _))
 
@@ -441,5 +552,8 @@ object OpsQueries {
     "mm_frame_sample" -> mmFrameSampleSql,
     "corpus_merge" -> corpusMergeSql,
     "sample_queries" -> sampleQueriesSql,
-    "eval_metrics" -> evalMetricsSql)
+    "beir_corpus_jsonl" -> beirCorpusJsonlSql,
+    "beir_qrels_join" -> beirQrelsJoinSql,
+    "eval_metrics" -> evalMetricsSql,
+    "bm25_topk_indexed" -> bm25TopkIndexedSql)
 }

@@ -33,6 +33,11 @@ object TrecEval {
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("docId").asc)
     val cw = Window.partitionBy("qid").orderBy("rank")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // `ranked` and `ideal` feed EVERY cutoff branch below — persist them so
+    // the upstream lineage (including the caller's whole scoring pipeline)
+    // runs once, not once per cutoff (measured ~2x on eval_metrics).
+    // Callers own release after the consuming action (driver entries clear
+    // the cache per query).
     val ranked = results
       .withColumn("rank", row_number().over(w))
       .join(qrels.select(col("qid"), col("docId"), col("grade")),
@@ -41,12 +46,14 @@ object TrecEval {
         coalesce(col("grade"), lit(0)).as("grade"))
       .withColumn("rel", when(col("grade") > 0, 1).otherwise(0))
       .withColumn("prec", sum(col("rel")).over(cw).cast("double") / col("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // per-query relevant count R and ideal gains by rank
     val rels = qrels.where(col("grade") > 0)
     val r = rels.groupBy("qid").agg(count(lit(1)).as("n_rel"))
     val iw = Window.partitionBy("qid").orderBy(col("grade").desc, col("docId").asc)
     val ideal = rels.withColumn("irank", row_number().over(iw))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def gain(g: Column): Column = pow(lit(2.0), g.cast("double")) - 1.0
     def disc(rk: Column): Column = lit(1.0) / log2(rk.cast("double") + 1.0)

@@ -58,6 +58,11 @@ object IndexBuilder {
   final case class Config(
       params: BM25Params = BM25Params(),
       tokenPattern: String = Tokenizer.TokenPattern,
+      // snowball stemming on/off (T5). Recorded in the index properties so
+      // query-side tokenization can't drift from the build; stem=false +
+      // AsciiTokenPattern is the externally-reproducible pipeline the
+      // DuckDB oracle can replicate exactly.
+      stem: Boolean = true,
       numSegmentGroups: Int = 4,
       numBuckets: Int = 16,
       docmapPartitions: Int = 0, // 0 = spark default parallelism
@@ -204,7 +209,7 @@ object IndexBuilder {
       // still picks broadcast when docmap fits under the threshold)
       val toks = part.join(docmap.hint("shuffle_hash"), "docId")
         .select(col("docIntId"),
-          Tokenizer.tokens(col("content"), cfg.tokenPattern).as("toks"))
+          Tokenizer.tokens(col("content"), cfg.tokenPattern, cfg.stem).as("toks"))
       // per-doc tf computed INSIDE the row (TermCountsExpr): the previous
       // corpus-wide groupBy(docIntId, term) aggregated under nearly-unique
       // keys, so its hash map overflowed to a sort at scale (measured
@@ -323,7 +328,8 @@ object IndexBuilder {
       "method" -> p.method, "k1" -> p.k1.toString, "b" -> p.b.toString,
       "delta" -> p.delta.toString,
       "tokenPattern" -> cfg.tokenPattern,
-      "stemmer" -> "snowball-en", "stopwords" -> "en-33",
+      "stemmer" -> (if (cfg.stem) "snowball-en" else "none"),
+      "stopwords" -> "en-33",
       "numDocs" -> numDocs.toString, "avgdl" -> avgdl.toString,
       "numTokens" -> numTokens.toString,
       "numBuckets" -> cfg.numBuckets.toString,

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.util.Hashing
 
@@ -18,13 +17,20 @@ object Dedup {
   /** Exact duplicates via content hash. Output: one row per doc —
     * (id, grp (md5 hex), grp_size, keep) where keep marks the smallest id
     * of each group (the canonical survivor).
+    *
+    * Group stats come from a partial+final hash aggregation joined back —
+    * NOT a `Window.partitionBy(grp)`, which would land an entire duplicate
+    * group on one task (a boilerplate/empty-doc group with 10^8 members
+    * serializes there). The join is hinted shuffle-hash: both sides are
+    * large and unsorted, and sort-merge would sort them for no benefit.
     */
   def exact(docs: DataFrame, idCol: String = "id", textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy("grp")
-    docs
-      .select(col(idCol).as("id"), md5(col(textCol).cast("binary")).as("grp"))
-      .withColumn("grp_size", count(lit(1)).over(w))
-      .withColumn("keep", col("id") === min(col("id")).over(w))
+    val hashed = docs.select(col(idCol).as("id"), md5(col(textCol).cast("binary")).as("grp"))
+    val groups = hashed.groupBy("grp")
+      .agg(count(lit(1)).as("grp_size"), min(col("id")).as("grp_min"))
+    hashed.join(groups.hint("shuffle_hash"), "grp")
+      .select(col("id"), col("grp"), col("grp_size"),
+        (col("id") === col("grp_min")).as("keep"))
   }
 
   /** Token n-gram shingle set (distinct, first-occurrence order) as a Column
@@ -45,20 +51,27 @@ object Dedup {
     * Pairs whose overlap is exclusively ubiquitous shingles are missed;
     * that is the documented recall trade of the cap.
     *
-    * The exploded shingle table is persisted: three consumers (two join
-    * sides + sizes) would otherwise re-run tokenize+shingle per use.
+    * The df cap itself is a partial+final `groupBy(sh).count` joined back
+    * as a left-semi — NOT a `Window.partitionBy(sh)`, which would first
+    * materialize the full df of the worst shingle (the very one the cap
+    * exists to drop) on a single task.
+    *
+    * Persisted intermediates (raw + filtered shingle tables) feed multiple
+    * consumers; callers that invoke pipelines repeatedly should release
+    * them afterwards (the driver entries clear the cache per query).
     */
   def ngramJaccard(docs: DataFrame, tokens: Column, idCol: String,
                    n: Int = 3, threshold: Double = 0.5, roundTo: Int = 6,
                    maxShingleDf: Int = 0): DataFrame = {
     val shAll = docs.select(col(idCol).as("id"), explode(shingles(tokens, n)).as("sh"))
-    val sh0 =
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh =
       if (maxShingleDf > 0) {
-        val w = Window.partitionBy("sh")
-        shAll.withColumn("df", count(lit(1)).over(w))
-          .where(col("df") <= maxShingleDf).drop("df")
-      } else shAll
-    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keep = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxShingleDf).select("sh")
+        shAll.join(keep.hint("shuffle_hash"), Seq("sh"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else shAll // already persisted above
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -117,8 +130,8 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(
-          size(filter(zip_with(col("a.sig"), col("b.sig"),
-            (x, y) => x === y), b => b)).cast("double") / m,
+          graft.ops.expr.OpsExprs.sigAgree(col("a.sig"), col("b.sig"))
+            .cast("double") / m,
           roundTo).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .dropDuplicates("id_a", "id_b")

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.query.{ScoredDoc, TopKAggregator}
 
@@ -122,8 +121,15 @@ object Similarity {
         round(dotCol(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")), roundTo)
           .as("sim"))
       .dropDuplicates("qid", "id") // multi-probe can hit the same candidate
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("qid"), col("id"), col("sim"), col("rank").cast("int").as("rank"))
+    // bounded-heap finish (same as bruteForceTopK): ≤ k rows per (query,
+    // partition) cross the final shuffle — a window row_number here would
+    // instead move EVERY candidate of a query onto one task
+    val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredDoc])
+    scored
+      .groupBy("qid")
+      .agg(topk(col("id"), col("sim")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), col("hit.docId").as("id"), col("hit.score").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 }

@@ -103,6 +103,20 @@ object OpsKernels {
     acc
   }
 
+  /** Number of positions where two long-array signatures agree. Callers
+    * (SigAgreeExpr) enforce equal lengths BEFORE calling.
+    */
+  def sigAgree(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) agree += 1
+      i += 1
+    }
+    agree
+  }
+
   /** Distinct token n-gram shingles joined by single spaces, first-occurrence
     * order (array_distinct semantics). Empty when fewer than n tokens.
     */
@@ -169,6 +183,39 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Positions where two minhash signatures agree, as a codegen expression —
+  * replaces the `zip_with`+`filter` higher-order Columns that evaluated
+  * interpreted (CodegenFallback) once per candidate pair. Mismatched
+  * signature lengths (mixed m, or a v1/v2 format mix) yield NULL so the
+  * bug surfaces instead of producing a plausible estimate.
+  */
+case class SigAgreeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sig_agree"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
+    if (aa.numElements() != bb.numElements()) null
+    else OpsKernels.sigAgree(aa, bb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.ops.expr.OpsKernels.sigAgree($a, $b);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Mismatched array lengths yield NULL (not a truncated dot product) so
   * embedding-dimension bugs surface instead of producing plausible numbers.
   */
@@ -217,4 +264,6 @@ object OpsExprs {
     bridge.toColumn(SimHash64Expr(bridge.toExpression(tokens)))
   def dot(a: Column, b: Column): Column =
     bridge.toColumn(DotProductExpr(bridge.toExpression(a), bridge.toExpression(b)))
+  def sigAgree(a: Column, b: Column): Column =
+    bridge.toColumn(SigAgreeExpr(bridge.toExpression(a), bridge.toExpression(b)))
 }

@@ -23,6 +23,10 @@ class BM25Index(val spark: SparkSession, val indexDir: String) {
     k1 = props("k1").toDouble, b = props("b").toDouble,
     delta = props("delta").toDouble, method = props("method"))
   val tokenPattern: String = props("tokenPattern")
+  /** Stemming on/off, read from the build's properties (pre-stem-toggle
+    * indexes recorded "snowball-en" unconditionally).
+    */
+  val stem: Boolean = props.getOrElse("stemmer", "snowball-en") != "none"
   val numDocs: Long = props("numDocs").toLong
   val avgdl: Double = props("avgdl").toDouble
   val numBuckets: Int = props("numBuckets").toInt
@@ -73,7 +77,8 @@ object QueryEngine {
   private def queryTerms(index: BM25Index, queries: DataFrame): DataFrame =
     queries
       .select(col("qid"),
-        explode(Tokenizer.tokens(col("query"), index.tokenPattern)).as("term"))
+        explode(Tokenizer.tokens(col("query"), index.tokenPattern, index.stem))
+          .as("term"))
       .groupBy("qid", "term").agg(count(lit(1)).cast("double").as("qtf"))
 
   /** Above this many distinct terms, the candidate filter switches from an
@@ -100,9 +105,6 @@ object QueryEngine {
         broadcast(terms.toDF("term").distinct()), Seq("term"), "left_semi")
     }
   }
-
-  private def collectTerms(qt: DataFrame): Seq[String] =
-    qt.select("term").distinct().collect().map(_.getString(0)).toSeq
 
   /** Max hit rows (nQueries × k) the finish join may broadcast; above this
     * it becomes a shuffled hash join (hits as build side — docs is never
@@ -136,9 +138,13 @@ object QueryEngine {
 
   /** Exact path: join + aggregate over decoded blocks. */
   def searchExact(index: BM25Index, queries: DataFrame, k: Int): DataFrame = {
-    val nQueries = queries.count()
     val qt = queryTerms(index, queries)
-    val terms = collectTerms(qt)
+    // ONE job collects the distinct term set AND the distinct-qid count
+    // (the finish-join row bound) — previously a separate queries.count()
+    // job ran per call (searchWand's limit-collect lesson, ported)
+    val agg = qt.agg(collect_set(col("term")), countDistinct(col("qid"))).head()
+    val terms = agg.getSeq[String](0)
+    val nQueries = agg.getLong(1)
     if (terms.isEmpty) return emptyResult(index.spark)
     // pair expansion via posexplode + element_at (both codegen): zip_with
     // is CodegenFallback — interpreted per element, measured 460s vs ~8s
@@ -224,13 +230,28 @@ object QueryEngine {
       val qArr = head.map(decodeGrouped)
       return finishTopK(index, wandPartials(index, qArr, k), k, qArr.length.toLong * k)
     }
-    // large batch: count once, then stream partition-sized chunks
+    // Large batch: count once, then stream partition-sized chunks through
+    // the driver, running each chunk as its OWN spill job — the chunk's
+    // bounded partials (≤ nChunkQueries × S × k rows) land in a temp
+    // parquet and the chunk's query-array broadcast is destroyed before
+    // the next chunk is collected. A lazy union of chunk DataFrames would
+    // instead keep EVERY chunk's driver array + executor broadcast
+    // resident for the whole job; this way driver and executor memory
+    // really are bounded by one chunk. Temp files are removed at JVM exit
+    // (the result DataFrame reads them lazily until then).
     val nQueries = grouped.count()
-    val partials = queryChunks(index, queries, nQueries).filter(_.nonEmpty)
-      .map(qArr => wandPartials(index, qArr, k)).toSeq
-    if (partials.isEmpty) return emptyResult(spark)
-    val all = partials.reduce(_.unionByName(_))
-    finishTopK(index, all, k, nQueries * k)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wand-partials")
+    sys.addShutdownHook(graft.util.Dirs.deleteRecursively(tmp.toFile))
+    val chunkDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    queryChunks(index, queries, nQueries).filter(_.nonEmpty).foreach { qArr =>
+      val (partials, bq) = wandPartialsWithHandle(index, qArr, k)
+      val dir = s"$tmp/chunk-${chunkDirs.size}"
+      partials.write.parquet(dir)
+      bq.destroy()
+      chunkDirs += dir
+    }
+    if (chunkDirs.isEmpty) return emptyResult(spark)
+    finishTopK(index, spark.read.parquet(chunkDirs.toSeq: _*), k, nQueries * k)
   }
 
   /** One chunk's WAND partial candidates: (qid, docIntId, score), ≤ k per
@@ -238,7 +259,16 @@ object QueryEngine {
     */
   private[graft] def wandPartials(index: BM25Index,
                            qArr: Array[(String, Array[(String, Double)])],
-                           k: Int): DataFrame = {
+                           k: Int): DataFrame =
+    wandPartialsWithHandle(index, qArr, k)._1
+
+  /** As wandPartials, but also returns the chunk's query-array broadcast so
+    * the chunked large-batch path can destroy it between chunk jobs.
+    */
+  private def wandPartialsWithHandle(index: BM25Index,
+                           qArr: Array[(String, Array[(String, Double)])],
+                           k: Int): (DataFrame,
+                             org.apache.spark.broadcast.Broadcast[Array[(String, Array[(String, Double)])]]) = {
     val spark = index.spark
     val terms = qArr.flatMap(_._2.map(_._1)).distinct.toSeq
     val bq = spark.sparkContext.broadcast(qArr)
@@ -294,14 +324,18 @@ object QueryEngine {
       .sortWithinPartitions("salt", "qgrp")
       .drop("sbucket")
 
-    // Cap on buffered per-task heap rows before an early emit-and-clear
-    // (bounds task memory for huge query chunks; duplicates are merged
-    // again by finishTopK's aggregate, so early emission stays correct).
+    // Cap on buffered per-task heap rows before an early emit-and-clear.
+    // Bounds task memory for huge query chunks. Correctness invariant:
+    // each (qid, docId) pair is emitted AT MOST ONCE per task — drains
+    // happen only at (salt, qgrp) group boundaries, where a doc has been
+    // scored exactly once for a query, so the drain merely re-partitions
+    // the emission. finishTopK's heap has NO docId dedup; a mid-group
+    // drain (same doc scored before and after) would surface duplicates.
     val maxHeapRows = spark.conf.getOption("spark.graft.taskHeapMaxRows")
       .map(_.toLong).getOrElse(4L << 20)
 
     implicit val enc = Encoders.product[(String, Long, Double)]
-    cand.mapPartitions { rows =>
+    val out = cand.mapPartitions { rows =>
       // rows arrive sorted by (salt, qgrp): buffer exactly one run at a time
       // — the same working set the WAND cursors need anyway.
       // TAAT accumulator buffers are reused across every group of the task.
@@ -343,6 +377,7 @@ object QueryEngine {
       }
       perGroup ++ drainHeaps()
     }.toDF("qid", "docIntId", "score")
+    (out, bq)
   }
 
   /** Streams consecutive runs of rows sharing a key from a SORTED iterator —

@@ -72,6 +72,13 @@ object Tokenizer {
   def tokens(content: Column, pattern: String = TokenPattern): Column =
     kernel(content, pattern, removeStop = true, stem = true)
 
+  /** T1-T3 (+T5 when `stem`) — the stem toggle lets an index pin either
+    * pipeline in its properties (IndexBuilder.Config.stem) so the query
+    * side always tokenizes identically to the build.
+    */
+  def tokens(content: Column, pattern: String, stem: Boolean): Column =
+    kernel(content, pattern, removeStop = true, stem = stem)
+
   /** Column-level snowball stem of a single token. */
   def stemCol(token: Column): Column = {
     import org.apache.spark.sql.graft.bridge

@@ -49,6 +49,28 @@ class DedupSpec extends SparkTestBase {
     assert(est.contains((0L, 2L)) && math.abs(est((0L, 2L)) - 7.0 / 9.0) < 0.3)
   }
 
+  test("shingle df cap drops ubiquitous shingles from blocking AND sizes") {
+    // cap=2: the 7 shingles shared by docs 0/1/2 (df=3) drop; each doc's
+    // final shingle (df=2 for 0/1, df=1 for 2) survives -> (0,1) compare
+    // on 1 shingle each (jaccard 1.0), (0,2) share nothing kept
+    val pairs = Dedup.ngramJaccard(docs, toks, "id", n = 3, threshold = 0.3,
+      maxShingleDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("de-skewed plan shapes: no Window exec in exact dedup / ngram jaccard") {
+    // scale gate: a Window.partitionBy(grp|sh) would place an entire
+    // duplicate group / a ubiquitous shingle's full df on ONE task
+    val pExact = Dedup.exact(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!pExact.contains("Window"), s"Window exec in exact dedup:\n$pExact")
+    val pJac = Dedup.ngramJaccard(docs, toks, "id", n = 3, threshold = 0.3,
+      maxShingleDf = 100).queryExecution.executedPlan.toString
+    assert(!pJac.contains("Window"), s"Window exec in ngram jaccard:\n$pJac")
+  }
+
   test("simhash: identical docs at hamming 0, unrelated docs not near") {
     val r = Dedup.simhashNearDups(docs, toks, "id", maxDist = 3)
       .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2)).toMap
@@ -127,6 +149,20 @@ class SimilaritySpec extends SparkTestBase {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.7, s"mean lsh recall $mean too low")
+  }
+
+  test("lsh top-k finishes with the bounded-heap aggregate, not a window") {
+    import spark.implicits._
+    val data = clustered(24, 8)
+    val corpus = data.drop(2).toDF("id", "embedding")
+    val queries = data.take(2).toDF("qid", "embedding")
+    val plan = Similarity.lshTopK(corpus, queries, k = 5, dims = 8, nBits = 4)
+      .queryExecution.executedPlan.toString
+    // a window row_number would shuffle EVERY candidate of a query to one
+    // task; the heap aggregate caps the shuffle at k rows per partition
+    assert(!plan.contains("Window"), s"Window exec in lshTopK:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"no aggregate finish in lshTopK:\n$plan")
   }
 }
 

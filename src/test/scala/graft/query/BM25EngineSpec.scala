@@ -183,6 +183,32 @@ class BM25EngineSpec extends SparkTestBase {
     assert(res.count() == 0)
   }
 
+  test("stem=false config: build+query parity vs unstemmed scalar engine") {
+    // the no-stem pipeline backs the driver's oracle-checked
+    // bm25_topk_indexed entry; properties must pin it so the query side
+    // tokenizes identically to the build
+    val dir = tmpDir("graft-index-nostem")
+    import spark.implicits._
+    val df = spark.createDataset(corpus).toDF()
+      .selectExpr("concat(repo, ':', path, '@', commit) as docId", "content")
+    IndexBuilder.build(spark, df, dir,
+      IndexBuilder.Config(stem = false, numSegmentGroups = 1, numBuckets = 8))
+    val idx = new BM25Index(spark, dir)
+    assert(!idx.stem && idx.props("stemmer") == "none")
+    val scalarNoStem = new BM25.ScalarEngine(
+      corpus.map(sf => sf.docId -> Tokenizer.tokenizeScalar(sf.content, stem = false)),
+      BM25Params(), quantizeImpacts = true)
+    val results = collectResults(QueryEngine.searchWand(idx, queriesDf, k))
+    for ((qid, qtext) <- queries) {
+      val expected = scalarNoStem.topK(Tokenizer.tokenizeScalar(qtext, stem = false), k)
+      val got = results.getOrElse(qid, Nil)
+      assert(got.size == expected.size, s"$qid: size ${got.size} != ${expected.size}")
+      got.zip(expected).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-4, s"$qid: $gs vs $es")
+      }
+    }
+  }
+
   test("index stats and properties recorded") {
     val idx = new BM25Index(spark, indexDir)
     assert(idx.params == BM25Params())
