@@ -94,7 +94,13 @@ private[graft] object BenchCore {
     // pre-warm: populates the index's docs cache + codegen outside the
     // timed window (cache build is a one-off per index, not per batch)
     QueryEngine.searchWand(idx, Seq(batch.head).toDF("qid", "query"), k).count()
-    val querySec = (1 to reps).map { _ =>
+    // query batches are cheap relative to builds: give them extra reps
+    // (min-of-N is the noise-robust estimator; co-tenant slowdown waves
+    // last minutes, so more ~5 s samples materially raise the chance one
+    // lands in a clean window)
+    val queryReps = math.max(reps,
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "4").toInt)
+    val querySec = (1 to queryReps).map { _ =>
       time { QueryEngine.searchWand(idx, qdf, k).count() }._2
     }.min
 

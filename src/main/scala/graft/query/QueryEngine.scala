@@ -37,7 +37,11 @@ class BM25Index(val spark: SparkSession, val indexDir: String) {
 
   /** docs dimension (docIntId → docId, len): cached MEMORY_AND_DISK — it is
     * re-read by every query's finish join (spills to disk if the corpus is
-    * too large to pin, so this stays safe at scale).
+    * too large to pin, so this stays safe at scale). Cached ALREADY
+    * hash-partitioned on docIntId: the cached plan's output partitioning
+    * satisfies the finish join's distribution requirement, so each batch
+    * shuffles only its (bounded, nQueries × k) hit rows — never the
+    * corpus-sized dimension again.
     */
   lazy val docs: DataFrame = {
     val d = spark.read.parquet(s"$indexDir/docs")
@@ -136,6 +140,34 @@ object QueryEngine {
     joined.select(col("qid"), col("docId"), col("score"), col("rank"))
   }
 
+  /** WAND-path finish over int-indexed partials (qidx = position in the
+    * chunk's query array): the heap aggregate groups on a 4-byte int
+    * instead of a per-row UTF8 string, and qid strings are resolved only
+    * AFTER top-k selection, on the bounded hit set, by an O(1)
+    * `element_at` into the chunk's qid array literal — no extra join
+    * stage. The literal is bounded by wandQueryChunkRows, the same bound
+    * that already caps the chunk's broadcast query array.
+    */
+  private def finishTopKIdx(index: BM25Index, partials: DataFrame, k: Int,
+                            qids: Array[String]): DataFrame = {
+    val spark = index.spark
+    val nHitsUpperBound = qids.length.toLong * k
+    val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredDoc])
+    val qidOf = element_at(typedLit(qids.toSeq), col("qidx") + 1)
+    val hits = partials
+      .groupBy("qidx")
+      .agg(topk(col("docIntId"), col("score")).as("hits"))
+      .select(col("qidx"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(qidOf.as("qid"), col("hit.docId").as("docIntId"),
+        col("hit.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+    val joined =
+      if (nHitsUpperBound <= broadcastHitsMaxRows(spark))
+        index.docs.join(broadcast(hits), "docIntId")
+      else
+        index.docs.join(hits.hint("shuffle_hash"), "docIntId")
+    joined.select(col("qid"), col("docId"), col("score"), col("rank"))
+  }
+
   /** Exact path: join + aggregate over decoded blocks. */
   def searchExact(index: BM25Index, queries: DataFrame, k: Int): DataFrame = {
     val qt = queryTerms(index, queries)
@@ -228,30 +260,32 @@ object QueryEngine {
     if (head.isEmpty) return emptyResult(spark)
     if (head.length <= chunkRows) {
       val qArr = head.map(decodeGrouped)
-      return finishTopK(index, wandPartials(index, qArr, k), k, qArr.length.toLong * k)
+      val (partials, _) = wandPartialsWithHandle(index, qArr, k)
+      return finishTopKIdx(index, partials, k, qArr.map(_._1))
     }
     // Large batch: count once, then stream partition-sized chunks through
-    // the driver, running each chunk as its OWN spill job — the chunk's
-    // bounded partials (≤ nChunkQueries × S × k rows) land in a temp
-    // parquet and the chunk's query-array broadcast is destroyed before
+    // the driver. Chunks partition the QUERY set, so each chunk's results
+    // are final on their own: every chunk runs kernel + finish as its OWN
+    // job whose finished (≤ nChunkQueries × k) rows land in a temp
+    // parquet, and the chunk's query-array broadcast is destroyed before
     // the next chunk is collected. A lazy union of chunk DataFrames would
     // instead keep EVERY chunk's driver array + executor broadcast
     // resident for the whole job; this way driver and executor memory
     // really are bounded by one chunk. Temp files are removed at JVM exit
     // (the result DataFrame reads them lazily until then).
     val nQueries = grouped.count()
-    val tmp = java.nio.file.Files.createTempDirectory("graft-wand-partials")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wand-chunks")
     sys.addShutdownHook(graft.util.Dirs.deleteRecursively(tmp.toFile))
     val chunkDirs = scala.collection.mutable.ArrayBuffer.empty[String]
     queryChunks(index, queries, nQueries).filter(_.nonEmpty).foreach { qArr =>
       val (partials, bq) = wandPartialsWithHandle(index, qArr, k)
       val dir = s"$tmp/chunk-${chunkDirs.size}"
-      partials.write.parquet(dir)
+      finishTopKIdx(index, partials, k, qArr.map(_._1)).write.parquet(dir)
       bq.destroy()
       chunkDirs += dir
     }
     if (chunkDirs.isEmpty) return emptyResult(spark)
-    finishTopK(index, spark.read.parquet(chunkDirs.toSeq: _*), k, nQueries * k)
+    spark.read.parquet(chunkDirs.toSeq: _*)
   }
 
   /** One chunk's WAND partial candidates: (qid, docIntId, score), ≤ k per
@@ -305,8 +339,10 @@ object QueryEngine {
       // S CONSTANT in deep-k mode — emission per query (S × k rows) must
       // not grow with cluster size, or per-query merge work rises with
       // cores and caps throughput scaling; G alone carries parallelism
+      // (the wandGroups override stays respected for perf experiments)
       S = math.min(index.numSalts, sCap)
-      G = math.max(1, math.min(qArr.length, P2 / S))
+      G = spark.conf.getOption("spark.graft.wandGroups").map(_.toInt)
+        .getOrElse(math.max(1, math.min(qArr.length, P2 / S)))
     }
     val nParts = S * G
 
@@ -334,30 +370,34 @@ object QueryEngine {
     val maxHeapRows = spark.conf.getOption("spark.graft.taskHeapMaxRows")
       .map(_.toLong).getOrElse(4L << 20)
 
-    implicit val enc = Encoders.product[(String, Long, Double)]
+    // Emission rows carry qidx (the query's position in the chunk array) —
+    // a 4-byte int groupBy/shuffle key instead of a per-row UTF8 string;
+    // finishTopKIdx resolves qid strings only on the post-top-k hit set.
+    implicit val enc = Encoders.product[(Int, Long, Double)]
+    val nQ = qArr.length
     val out = cand.mapPartitions { rows =>
       // rows arrive sorted by (salt, qgrp): buffer exactly one run at a time
       // — the same working set the WAND cursors need anyway.
       // TAAT accumulator buffers are reused across every group of the task.
-      lazy val taat = new Wand.SaltTaat(shift, kk)
+      lazy val taat = new Wand.SaltTaat(shift)
       val agg = new TopKAggregator(kk)
-      val heaps = new java.util.HashMap[String, TopKBuf]()
+      // array-indexed per-query heaps (no hashing): a task only ever
+      // touches the qidx values of its own query groups
+      val heaps = new Array[TopKBuf](nQ)
       var heapRows = 0L
-      def mergeIn(it: Iterator[(String, Long, Double)]): Unit =
-        it.foreach { case (qid, d, s) =>
-          var h = heaps.get(qid)
-          if (h == null) { h = agg.zero; heaps.put(qid, h) }
-          val before = h.size
-          agg.insert(h, d, s)
-          heapRows += h.size - before
+      def drainHeaps(): Iterator[(Int, Long, Double)] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+        var qi = 0
+        while (qi < nQ) {
+          val h = heaps(qi)
+          if (h != null) {
+            var i = 0
+            while (i < h.size) { out += ((qi, h.docIds(i), h.scores(i))); i += 1 }
+            heaps(qi) = null
+          }
+          qi += 1
         }
-      def drainHeaps(): Iterator[(String, Long, Double)] = {
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
-        heaps.forEach { (qid, h) =>
-          var i = 0
-          while (i < h.size) { out += ((qid, h.docIds(i), h.scores(i))); i += 1 }
-        }
-        heaps.clear(); heapRows = 0L
+        heapRows = 0L
         out.iterator
       }
 
@@ -367,16 +407,30 @@ object QueryEngine {
         // its decoded blocks through SharedRun's cache
         val byTerm: Map[String, Wand.SharedRun] =
           srows.map(r => r.getString(0) -> Wand.runOf(r)).toMap
-        bq.value.iterator.foreach { case (qid, qterms) =>
-          if (math.floorMod(qid.hashCode, G) == qgrp) {
-            if (useTaat) mergeIn(taat.topkForQuery(qid, qterms, byTerm, salt))
-            else mergeIn(Wand.topkForQuery(qid, qterms, byTerm, kk))
-          }
+        // a group's queries are exactly the indices ≡ qgrp (mod G): step
+        // through them directly instead of filtering the whole chunk.
+        // Kernels insert DIRECTLY into the task-level per-query heap — no
+        // per-(query,salt) heap, finish-sort, or boxed hand-off (that
+        // machinery processed numSalts×k entries per query and dominated
+        // the batch kernel); for DAAT the heap arriving pre-loaded from
+        // the task's earlier salts RAISES the pruning threshold (any doc
+        // worse than the global k-th so far can never surface — exactness
+        // unchanged, strictly more block skipping).
+        var qidx = qgrp
+        while (qidx < nQ) {
+          val qterms = bq.value(qidx)._2
+          var h = heaps(qidx)
+          if (h == null) { h = agg.zero; heaps(qidx) = h }
+          val before = h.size
+          if (useTaat) taat.topkInto(qterms, byTerm, salt, agg, h)
+          else Wand.topkInto(qterms, byTerm, agg, h)
+          heapRows += h.size - before
+          qidx += G
         }
         if (heapRows > maxHeapRows) drainHeaps() else Iterator.empty
       }
       perGroup ++ drainHeaps()
-    }.toDF("qid", "docIntId", "score")
+    }.toDF("qidx", "docIntId", "score")
     (out, bq)
   }
 
@@ -544,18 +598,20 @@ object Wand {
     new SharedRun(maxImpact, firsts, lasts, maxs, ns, idB, impB)
   }
 
-  /** Top-k for one query over one salt's term→run map. Emits up
-    * to k (qid, docIntId, score) candidates (merged by TopKAggregator).
+  /** Document-at-a-time WAND for one query over one salt's term→run map,
+    * inserting survivors into the caller's task-level heap. The heap may
+    * arrive pre-loaded from the task's earlier salts: its root then prunes
+    * ACROSS salts (a doc worse than the global k-th so far can never reach
+    * the final top-k — exactness unchanged, strictly more skipping).
     */
-  def topkForQuery(qid: String, qterms: Array[(String, Double)],
-                   byTerm: Map[String, SharedRun], k: Int): Iterator[(String, Long, Double)] = {
+  def topkInto(qterms: Array[(String, Double)],
+               byTerm: Map[String, SharedRun],
+               agg: TopKAggregator, heap: TopKBuf): Unit = {
     val cs: Array[Cursor] = qterms.flatMap { case (t, qtf) =>
       byTerm.get(t).map(run => new Cursor(qtf, run))
     }
-    if (cs.isEmpty) return Iterator.empty
-
-    val agg = new TopKAggregator(k)
-    val heap = agg.zero
+    if (cs.isEmpty) return
+    val k = heap.docIds.length // buffer capacity == the aggregator's k
     var live = 0
 
     /** keep cs sorted by curDoc (exhausted cursors sink to the end): plain
@@ -585,7 +641,7 @@ object Wand {
         if (acc > threshold) found = pi
         pi += 1
       }
-      if (found < 0) return drain(qid, agg, heap) // no doc can beat threshold
+      if (found < 0) return // no doc can beat threshold
       val pivotDoc = cs(found).curDoc
 
       if (cs(0).curDoc == pivotDoc) {
@@ -611,11 +667,7 @@ object Wand {
         resort()
       }
     }
-    drain(qid, agg, heap)
   }
-
-  private def drain(qid: String, agg: TopKAggregator, heap: TopKBuf) =
-    agg.finish(heap).iterator.map(h => (qid, h.docId, h.score))
 
   /** Term-at-a-time dense-accumulator kernel over one salt — the deep-k
     * twin of WAND's document-at-a-time loop (selected by
@@ -633,18 +685,21 @@ object Wand {
     * not salt width. Decoded blocks are shared across the group's queries
     * via SharedRun exactly as in the WAND path.
     */
-  final class SaltTaat(saltShift: Int, k: Int) {
+  final class SaltTaat(saltShift: Int) {
     private val width = 1 << saltShift
     private val mask = (1L << saltShift) - 1
     private val acc = new Array[Double](width)
     private val epoch = new Array[Int](width)
     private val touched = new Array[Int](width)
     private var cur = 0
-    private val agg = new TopKAggregator(k)
 
-    def topkForQuery(qid: String, qterms: Array[(String, Double)],
-                     byTerm: Map[String, SharedRun],
-                     salt: Int): Iterator[(String, Long, Double)] = {
+    /** Accumulate one query over one salt, inserting the touched docs into
+      * the caller's task-level heap (pre-loaded from earlier salts — its
+      * root filters most insertions in O(1)).
+      */
+    def topkInto(qterms: Array[(String, Double)],
+                 byTerm: Map[String, SharedRun], salt: Int,
+                 agg: TopKAggregator, heap: TopKBuf): Unit = {
       cur += 1
       var nTouched = 0
       var ti = 0
@@ -671,16 +726,14 @@ object Wand {
         }
         ti += 1
       }
-      if (nTouched == 0) return Iterator.empty
+      if (nTouched == 0) return
       val saltBase = salt.toLong << saltShift
-      val heap = agg.zero
       var i = 0
       while (i < nTouched) {
         val off = touched(i)
         agg.insert(heap, saltBase | off, acc(off))
         i += 1
       }
-      drain(qid, agg, heap)
     }
   }
 }

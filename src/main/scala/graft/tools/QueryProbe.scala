@@ -151,8 +151,8 @@ object QueryProbe {
       full.groupBy("qid").count().agg(min("count"), max("count"), avg("count")).show(false)
     }
 
-    // 3..5. full paths, twice each (second run = warm)
-    for (r <- 1 to 2) {
+    // 3..5. full paths, several reps (first run = codegen-cold)
+    for (r <- 1 to 4) {
       t(s"searchWand run$r")(QueryEngine.searchWand(idx, qdf, k).count())
     }
     if (!sys.env.get("GRAFT_SKIP_EXACT").contains("1"))

@@ -167,10 +167,10 @@ class BM25EngineSpec extends SparkTestBase {
       spark.conf.set("spark.graft.scoreAllMinK", "1") // force deep-k mode
       val qArr = QueryEngine.queryChunks(idx, queriesDf, queries.size.toLong).next()
       val perQid = QueryEngine.wandPartials(idx, qArr, kk)
-        .groupBy("qid").count().collect()
+        .groupBy("qidx").count().collect()
       perQid.foreach { r =>
         assert(r.getLong(1) <= math.min(idx.numSalts, 4).toLong * kk,
-          s"${r.getString(0)}: ${r.getLong(1)} partials > bound")
+          s"qidx ${r.getInt(0)}: ${r.getLong(1)} partials > bound")
       }
     } finally spark.conf.unset("spark.graft.scoreAllMinK")
   }

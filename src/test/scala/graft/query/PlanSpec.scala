@@ -72,15 +72,23 @@ class PlanSpec extends SparkTestBase {
     val q = Seq(("q1", "binary search tree"), ("q2", "hash index merge"))
       .toDF("qid", "query")
     // Above the bound: nQueries*k=2000 > 1000 -> shuffled hash join, hits
-    // as build side; docs must be neither broadcast nor sorted.
+    // as build side; docs must be neither broadcast nor sort-merged. qid
+    // resolution is an element_at into the chunk's literal qid array — no
+    // join, so NO hash broadcast belongs in this plan at all.
     spark.conf.set("spark.graft.broadcastHitsMaxRows", "1000")
     try {
       val big = QueryEngine.searchWand(idx, q, 1000)
       val physBig = big.queryExecution.executedPlan.toString
       assert(physBig.contains("ShuffledHashJoin"),
         s"no shuffled hash join for large hit sets:\n$physBig")
-      assert(!physBig.contains("BroadcastHashJoin"),
-        s"large hit set still broadcast:\n$physBig")
+      assert(!physBig.contains("SortMergeJoin"),
+        s"docs side sorted for the finish join:\n$physBig")
+      // any hash-relation broadcast here would mean the hit set or the
+      // docs dimension is being broadcast despite the row bound
+      val nBroadcasts = "BroadcastExchange HashedRelationBroadcastMode".r
+        .findAllIn(physBig).size
+      assert(nBroadcasts == 0,
+        s"$nBroadcasts hash broadcasts (expected none):\n$physBig")
       assert(big.count() > 0)
       // Below the bound: broadcast resolution join as before.
       val small = QueryEngine.searchWand(idx, q, 10)
