@@ -66,13 +66,16 @@ object OpsQueries {
     Dedup.simhashNearDups(docs(spark, sfDir), asciiToks, "doc_id", maxDist = 3)
       .orderBy("id_a", "id_b")
 
+  /** nBits=4 (16 buckets) for the sf0.01-1 fixture sizes per the
+    * Similarity.autoBits rule; real deployments size nBits from n.
+    */
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.embeddingNearDups(emb(spark, sfDir), "vec_id", "embedding",
-      dims = 64, threshold = 0.4, nBits = 2)
+      dims = 64, threshold = 0.4, nBits = 4)
       .orderBy("id_a", "id_b")
 
   val dedupEmbeddingSql: String = {
-    val bucket = lshBucketSql("emb", 42L, nBits = 2, dims = 64)
+    val bucket = lshBucketSql("emb", 42L, nBits = 4, dims = 64)
     s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
        |b AS (SELECT id, emb, $bucket AS bucket FROM e),
        |p AS (SELECT a.id AS id_a, b2.id AS id_b,

@@ -175,6 +175,10 @@ object Dedup {
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold,
     * LSH-blocked (reuses Similarity's hyperplane buckets) then exactly
     * verified.
+    *
+    * `nBits` MUST scale with corpus size — the verify join is quadratic
+    * within a bucket, so pick `Similarity.autoBits(n)` (expected bucket
+    * population ~1k) rather than a constant when n is not known a priori.
     */
   def embeddingNearDups(vecs: DataFrame, idCol: String, embCol: String,
                         dims: Int, threshold: Double = 0.95,

@@ -70,6 +70,18 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** LSH sizing rule: hyperplane count such that the EXPECTED bucket
+    * population stays near `targetBucket` — nBits = ceil(log2(n /
+    * targetBucket)). The within-bucket verify is quadratic in bucket
+    * population, so bucket count MUST grow with n: fixed nBits at 1000×
+    * the corpus turns the verify stage into an all-pairs join. (Skewed
+    * real-world buckets still warrant a df-cap-style guard on top; the
+    * rule bounds the expectation.)
+    */
+  def autoBits(n: Long, targetBucket: Int = 1024): Int =
+    math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, (n + targetBucket - 1) / targetBucket - 1)))
+
   /** Deterministic pseudo-random hyperplane component for (seed, bit, dim):
     * a fixed hash-mix mapped to [-1, 1).
     */

@@ -94,6 +94,17 @@ class DedupSpec extends SparkTestBase {
     assert(r.contains((0L, 1L)))
     assert(!r.exists(p => p._2 == 2L || p._2 == 3L && p._1 != 0L || p._1 == 2L))
   }
+
+  test("autoBits sizing rule keeps expected bucket population bounded") {
+    import graft.ops.Similarity.autoBits
+    assert(autoBits(1000) == 1) // <= one target bucket still hashes somewhere
+    assert(autoBits(16 * 1024) == 4)
+    assert(autoBits(16 * 1024 + 1) == 5)
+    assert(autoBits(1L << 40) == 30) // 10^12 docs -> ~2^30 buckets of ~1k
+    // the invariant that matters at scale: expected population <= target
+    for (n <- Seq(10_000L, 1_000_000L, 123_456_789L))
+      assert(n.toDouble / (1L << autoBits(n)) <= 1024.0)
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {
