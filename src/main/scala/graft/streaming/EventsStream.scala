@@ -73,6 +73,22 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact dedup at ingest — the continuous twin of
+    * graft.ops.Dedup.exact for a pipeline that receives documents as a
+    * stream: keyed by content hash, state bounded by the watermark
+    * (dropDuplicatesWithinWatermark keeps a key only until the watermark
+    * passes its event time, so state does NOT grow with the corpus — the
+    * property that matters for an unbounded ingest).
+    *
+    * Expects (ts TIMESTAMP, id, text); emits first-seen rows with their
+    * content hash.
+    */
+  def dedupedDocs(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("grp", md5(col("text").cast("binary")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("grp")
+
   /** Canonical sink wiring: append-mode parquet with checkpointing. */
   def writeParquet(df: DataFrame, path: String, checkpoint: String,
                    outputMode: OutputMode = OutputMode.Append()) =

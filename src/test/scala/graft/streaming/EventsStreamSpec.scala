@@ -50,6 +50,30 @@ class EventsStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup: duplicates dropped within watermark, state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "id", "text")
+    val q = EventsStream.dedupedDocs(docs, "30 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(1, 0), 0L, "binary search tree"), (ts(1, 1), 1L, "hash map"))
+      q.processAllAvailable()
+      // same content again inside the watermark horizon -> dropped
+      mem.addData((ts(1, 10), 2L, "binary search tree"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(1)).toSet
+      assert(ids == Set(0L, 1L), s"duplicate leaked or first-seen lost: $ids")
+      // distinct content always passes
+      mem.addData((ts(1, 20), 3L, "merge sort"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").collect().map(_.getLong(1)).toSet
+        == Set(0L, 1L, 3L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
