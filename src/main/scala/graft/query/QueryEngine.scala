@@ -168,7 +168,15 @@ object QueryEngine {
     joined.select(col("qid"), col("docId"), col("score"), col("rank"))
   }
 
-  /** Exact path: join + aggregate over decoded blocks. */
+  /** Exact path: join + aggregate over decoded blocks.
+    *
+    * This is the declarative cross-check twin (the role rank_bm25 /
+    * bm25s's numpy backend plays in the reference), not the batch
+    * engine: the postings⋈query-terms join fans out each posting once
+    * per query sharing the term, so batches with many term-overlapping
+    * queries pay #postings × #sharing-queries — use searchWand for
+    * throughput work.
+    */
   def searchExact(index: BM25Index, queries: DataFrame, k: Int): DataFrame = {
     val qt = queryTerms(index, queries)
     // ONE job collects the distinct term set AND the distinct-qid count
@@ -248,21 +256,39 @@ object QueryEngine {
   }
 
   /** WAND path: per-salt pruned scan (kernel chosen by depth). The common
-    * case (batch fits one chunk) is ONE optimistic limit-collect job — no
-    * separate count() job per call; only over-chunk batches fall back to
-    * a counted streaming pass.
+    * case (batch fits one chunk) is ONE optimistic limit-collect job that
+    * ships the RAW (qid, query) rows — tokenization/qtf for a bounded
+    * batch runs driver-side through the scalar twin of TokenizeExpr
+    * (behavior-identical, tested), so no per-call tokenize job or
+    * count() job exists; only over-chunk batches fall back to a counted
+    * distributed streaming pass.
     */
   def searchWand(index: BM25Index, queries: DataFrame, k: Int): DataFrame = {
     val spark = index.spark
     val chunkRows = wandQueryChunkRows(spark)
-    val grouped = groupedQueryTerms(index, queries)
-    val head = grouped.limit(chunkRows + 1).collect()
+    val head = queries.select(col("qid"), col("query")).limit(chunkRows + 1).collect()
     if (head.isEmpty) return emptyResult(spark)
     if (head.length <= chunkRows) {
-      val qArr = head.map(decodeGrouped)
+      // duplicate qid rows merge their token multisets (parity with the
+      // distributed groupBy(qid, term) path)
+      val qArr: Array[(String, Array[(String, Double)])] = head
+        .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("")))
+        .groupBy(_._1).iterator
+        .map { case (qid, rows) =>
+          val counts = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+          rows.foreach { case (_, text) =>
+            Tokenizer.tokenizeScalar(text, index.tokenPattern, index.stem)
+              .foreach(t => counts.update(t, counts.getOrElse(t, 0.0) + 1.0))
+          }
+          (qid, counts.toArray)
+        }
+        .filter(_._2.nonEmpty) // all-stopword/empty queries produce no rows
+        .toArray
+      if (qArr.isEmpty) return emptyResult(spark)
       val (partials, _) = wandPartialsWithHandle(index, qArr, k)
       return finishTopKIdx(index, partials, k, qArr.map(_._1))
     }
+    val grouped = groupedQueryTerms(index, queries)
     // Large batch: count once, then stream partition-sized chunks through
     // the driver. Chunks partition the QUERY set, so each chunk's results
     // are final on their own: every chunk runs kernel + finish as its OWN
@@ -316,19 +342,18 @@ object QueryEngine {
     // cores and G = 1 (no replicated decode); on a small index queries
     // split into G groups so the kernel still fills the cluster — posting
     // rows replicate G× through the shuffle.
-    // Each task merges its queries' per-salt top-k ACROSS every salt it
-    // holds before emitting (per-task qid→heap), so emission is
-    // nQueries × S × k rows — bounded by the BUCKET count S, not numSalts.
-    // At deep k that merge dominates (measured 3.2s of a 5.7s batch at
-    // 36M emission rows), so TAAT mode caps S (deepKSaltBuckets, default 8)
-    // and raises G to keep S×G ≈ 2·parallelism: a little replicated block
-    // decode buys 4× less merge traffic. At 10^12-doc scale the same cap
-    // keeps emission independent of the million-salt index layout.
+    // Each task's kernels insert into ONE heap per query covering every
+    // salt the task holds, so shuffled emission is nQueries × S × k rows —
+    // bounded by the BUCKET count S, not numSalts. TAAT mode caps S
+    // (deepKSaltBuckets) and raises G to keep S×G ≈ 2·parallelism: a
+    // little replicated block decode buys 4× less emission + finish
+    // traffic. At 10^12-doc scale the same cap keeps emission independent
+    // of the million-salt index layout.
     // `spark.graft.wandGroups` overrides G (perf experiments).
-    // default 4: swept {8,4,2,1} at 480k docs × 1200 queries × k=1000 —
-    // S=4 (G=16) balanced replicated-decode against emission best (4.6s
-    // batch vs 6.6s at S=8 and 76s at S=1, where G=64 decodes every
-    // group's blocks 64×)
+    // default 4: swept {8,6,4,2,1} at 480k docs × 1200 queries × k=1000
+    // (r2 per-salt-heap kernel: 4.6s at S=4 vs 6.6s at S=8 and 76s at
+    // S=1/G=64; r3 direct-heap kernel re-checked S∈{2,4,6} — S=4 still
+    // best, batch min 2.7s)
     val sCap = spark.conf.getOption("spark.graft.deepKSaltBuckets")
       .map(_.toInt).getOrElse(4)
     var G = spark.conf.getOption("spark.graft.wandGroups").map(_.toInt)

@@ -87,10 +87,15 @@ object Tokenizer {
   }
 
   /** Scalar twin of the full pipeline — the in-repo reference scorer's
-    * tokenizer, used as the test oracle (plain collections, no Spark).
+    * tokenizer (also the driver-side query tokenizer in QueryEngine's
+    * small-batch fast path), behavior-identical to TokenizeExpr: plain
+    * collections, no Spark.
     */
-  def tokenizeScalar(text: String, stem: Boolean = true): Seq[String] = {
-    val re = java.util.regex.Pattern.compile(TokenPattern)
+  def tokenizeScalar(text: String, stem: Boolean = true): Seq[String] =
+    tokenizeScalar(text, TokenPattern, stem)
+
+  def tokenizeScalar(text: String, pattern: String, stem: Boolean): Seq[String] = {
+    val re = java.util.regex.Pattern.compile(pattern)
     val m = re.matcher(text.toLowerCase)
     val out = Seq.newBuilder[String]
     while (m.find()) {
