@@ -301,7 +301,7 @@ object QueryEngine {
     // (the result DataFrame reads them lazily until then).
     val nQueries = grouped.count()
     val tmp = java.nio.file.Files.createTempDirectory("graft-wand-chunks")
-    sys.addShutdownHook(graft.util.Dirs.deleteRecursively(tmp.toFile))
+    chunkTmpDirs.add(tmp.toString) // one JVM-wide cleanup hook, not one per call
     val chunkDirs = scala.collection.mutable.ArrayBuffer.empty[String]
     queryChunks(index, queries, nQueries).filter(_.nonEmpty).foreach { qArr =>
       val (partials, bq) = wandPartialsWithHandle(index, qArr, k)
@@ -472,6 +472,18 @@ object QueryEngine {
       val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
       while (it.hasNext && keyOf(it.head) == k) buf += it.next()
       (k, buf.toSeq)
+    }
+  }
+
+  /** Temp dirs of chunked-batch spills, removed at JVM exit (results read
+    * them lazily until then). One hook for the whole JVM.
+    */
+  private val chunkTmpDirs =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  locally {
+    sys.addShutdownHook {
+      chunkTmpDirs.forEach(d =>
+        graft.util.Dirs.deleteRecursively(new java.io.File(d)))
     }
   }
 
