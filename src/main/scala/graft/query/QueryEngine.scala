@@ -37,11 +37,10 @@ class BM25Index(val spark: SparkSession, val indexDir: String) {
 
   /** docs dimension (docIntId → docId, len): cached MEMORY_AND_DISK — it is
     * re-read by every query's finish join (spills to disk if the corpus is
-    * too large to pin, so this stays safe at scale). Cached ALREADY
-    * hash-partitioned on docIntId: the cached plan's output partitioning
-    * satisfies the finish join's distribution requirement, so each batch
-    * shuffles only its (bounded, nQueries × k) hit rows — never the
-    * corpus-sized dimension again.
+    * too large to pin, so this stays safe at scale). Deliberately cached
+    * UNpartitioned: pre-repartitioning by docIntId was tried and measured
+    * SLOWER end to end (the cached exchange cost more than the per-batch
+    * shuffle it saved).
     */
   lazy val docs: DataFrame = {
     val d = spark.read.parquet(s"$indexDir/docs")
@@ -315,7 +314,7 @@ object QueryEngine {
   }
 
   /** One chunk's WAND partial candidates: (qid, docIntId, score), ≤ k per
-    * (query, salt) before the global heap merge in finishTopK.
+    * (query, salt) before the global heap merge in finishTopKIdx.
     */
   private[graft] def wandPartials(index: BM25Index,
                            qArr: Array[(String, Array[(String, Double)])],
@@ -390,7 +389,7 @@ object QueryEngine {
     // each (qid, docId) pair is emitted AT MOST ONCE per task — drains
     // happen only at (salt, qgrp) group boundaries, where a doc has been
     // scored exactly once for a query, so the drain merely re-partitions
-    // the emission. finishTopK's heap has NO docId dedup; a mid-group
+    // the emission. finishTopKIdx's heap has NO docId dedup; a mid-group
     // drain (same doc scored before and after) would surface duplicates.
     val maxHeapRows = spark.conf.getOption("spark.graft.taskHeapMaxRows")
       .map(_.toLong).getOrElse(4L << 20)
