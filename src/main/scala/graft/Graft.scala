@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+
+import graft.bench.{RunReport, Timer}
+import graft.index.IndexBuilder
+import graft.query.{BM25Index, QueryEngine}
+
+/** Library facade: the reference harness's full run lifecycle
+  * (benchmark/on_bm25s.py §3.1 of SURVEY.md — load → tokenize+index →
+  * batch retrieve → BEIR evaluate → save_dict report) as one call, over
+  * any (docId, content) corpus — e.g. `sources.BeirReader` output for
+  * real BEIR data, or a table in the input_hint shape.
+  *
+  * A user of the reference maps their workflow 1:1:
+  *
+  * {{{
+  * val corpus  = BeirReader.readCorpusContent(spark, "data/corpus.jsonl")
+  * val queries = BeirReader.readQueries(spark, "data/queries.jsonl")
+  * val qrels   = BeirReader.readQrels(spark, "data/qrels/test.tsv")
+  * val run = Graft.run(spark, corpus, queries, qrels,
+  *   indexDir = "/indexes/mycorpus", resultDir = Some("results"),
+  *   dataset = "mycorpus")
+  * run.results  // (qid, docId, score, rank) top-k
+  * run.metrics  // (cutoff, ndcg, map, recall, p)
+  * }}}
+  *
+  * Reports written via `resultDir` are globbable by `bench.Analysis`
+  * (loadRuns → flattenRuns → aggregate → pivots → csv/md/latex), closing
+  * the same loop the reference's analysis/ scripts close over its runs.
+  */
+object Graft {
+
+  final case class Run(
+      index: BM25Index,
+      results: DataFrame,
+      metrics: DataFrame,
+      report: RunReport,
+      reportPath: Option[String])
+
+  def buildIndex(spark: SparkSession, corpus: DataFrame, indexDir: String,
+                 cfg: IndexBuilder.Config = IndexBuilder.Config()): BM25Index = {
+    IndexBuilder.build(spark, corpus, indexDir, cfg)
+    new BM25Index(spark, indexDir)
+  }
+
+  def open(spark: SparkSession, indexDir: String): BM25Index =
+    new BM25Index(spark, indexDir)
+
+  /** Batch top-k retrieval; `exact = true` selects the declarative
+    * cross-check path instead of the WAND/TAAT engine.
+    */
+  def search(index: BM25Index, queries: DataFrame, k: Int = 1000,
+             exact: Boolean = false): DataFrame =
+    if (exact) QueryEngine.searchExact(index, queries, k)
+    else QueryEngine.searchWand(index, queries, k)
+
+  def evaluate(results: DataFrame, qrels: DataFrame,
+               cutoffs: Seq[Int] = eval.TrecEval.DefaultCutoffs): DataFrame =
+    eval.TrecEval.evaluate(
+      results.selectExpr("qid", "docId", "score"), qrels, cutoffs)
+
+  /** Full lifecycle: (re)build or resume the index at `indexDir`, retrieve
+    * top-k for `queries`, evaluate against `qrels` at `cutoffs`, and
+    * produce (optionally write) a save_dict-schema RunReport.
+    */
+  def run(spark: SparkSession,
+          corpus: DataFrame, queries: DataFrame, qrels: DataFrame,
+          indexDir: String,
+          cfg: IndexBuilder.Config = IndexBuilder.Config(),
+          k: Int = 1000,
+          cutoffs: Seq[Int] = eval.TrecEval.DefaultCutoffs,
+          model: String = "graft-spark",
+          dataset: String = "synthetic",
+          resultDir: Option[String] = None): Run = {
+    val timer = new Timer()
+
+    timer.start("index") // includes tokenization (combine_results folds it)
+    val index = buildIndex(spark, corpus, indexDir, cfg)
+    timer.stop("index")
+
+    timer.start("query")
+    val results = search(index, queries, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nHits = results.count() // materialize inside the timed span
+    timer.stop("query")
+    require(nHits >= 0)
+
+    val metrics = evaluate(results, qrels, cutoffs)
+    val byCutoff = metrics.collect().map { r =>
+      r.getInt(0).toString ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    }.toMap
+    def metric(pick: ((Double, Double, Double, Double)) => Double) =
+      byCutoff.map { case (c, v) => c -> pick(v) }
+
+    val rt = Runtime.getRuntime
+    val report = RunReport(
+      model = model, dataset = dataset,
+      stemmer = index.props.getOrElse("stemmer", "none"),
+      tokenizer = index.tokenPattern,
+      method = index.params.method,
+      stopwords = index.props.getOrElse("stopwords", "none"),
+      k1 = index.params.k1, b = index.params.b, delta = index.params.delta,
+      date = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")
+        .format(java.time.LocalDateTime.now()),
+      nThreads = spark.sparkContext.defaultParallelism,
+      topK = k,
+      maxMemGb = (rt.totalMemory() - rt.freeMemory()) / 1e9,
+      numDocs = index.numDocs,
+      numQueries = queries.count(),
+      numTokens = index.props.getOrElse("numTokens", "0").toLong,
+      timing = timer.results,
+      scores = Map(
+        "ndcg" -> metric(_._1), "map" -> metric(_._2),
+        "recall" -> metric(_._3), "precision" -> metric(_._4)))
+    val path = resultDir.map(dir => RunReport.write(report, dir))
+    Run(index, results, metrics, report, path)
+  }
+}

@@ -18,6 +18,52 @@ object Analysis {
     spark.read.option("multiLine", value = true)
       .json(s"$resultsDir/*/*.json")
 
+  /** Flatten nested save_dict-schema reports (RunReport / the reference's
+    * own result files) into the processed-record shape of
+    * combine_results.py:82-133: prefer the numba query timing, else
+    * min(default, numpy); fold corpus/query tokenization into
+    * index/query time; derive qps/dps; carry ndcg@10 and r@1000.
+    * Fields absent from the whole input schema resolve to NULL (the
+    * coalesce chain then falls through, exactly like the reference's
+    * per-run `.get` checks).
+    */
+  def flattenRuns(runs: DataFrame): DataFrame = {
+    def opt(path: String): org.apache.spark.sql.Column = {
+      // walk the schema; absent fields become a NULL literal so the
+      // coalesce chains below stay valid on any report subset
+      val parts = path.split('.')
+      var t: org.apache.spark.sql.types.DataType = runs.schema
+      val ok = parts.forall { p =>
+        t match {
+          case s: org.apache.spark.sql.types.StructType
+              if s.fieldNames.contains(p) =>
+            t = s(p).dataType; true
+          case _ => false
+        }
+      }
+      if (ok) col(parts.map(p => s"`$p`").mkString(".")) else lit(null)
+    }
+    val qDefault = opt("timing.query.elapsed")
+    val qNumba = opt("timing.query_numba.elapsed")
+    val qNumpy = opt("timing.query_numpy.elapsed")
+    val qBest = coalesce(qNumba,
+      when(qNumpy.isNotNull, least(qDefault, qNumpy)), qDefault)
+    val cTok = coalesce(opt("timing.tokenize_corpus_(class).elapsed"),
+      opt("timing.tokenize_corpus.elapsed"), lit(0.0))
+    val qTok = coalesce(opt("timing.tokenize_queries_(class).elapsed"),
+      opt("timing.tokenize_queries.elapsed"), lit(0.0))
+    val indexTime = opt("timing.index.elapsed") + cTok
+    val queryTime = qBest + qTok
+    runs.select(
+      col("model"), col("dataset"),
+      coalesce(opt("n_threads"), lit(1L)).as("n_threads"),
+      coalesce(opt("ndcg.10"), opt("scores.ndcg.10")).as("ndcg@10"),
+      coalesce(opt("recall.1000"), opt("scores.recall.1000")).as("r@1000"),
+      (opt("stats.num_queries") / queryTime).as("qps"),
+      (opt("stats.num_docs") / indexTime).as("dps"),
+      coalesce(opt("max_mem_gb"), lit(-1.0)).as("max_mem_gb"))
+  }
+
   /** Per-run normalization (combine_results.py:88-133): prefer the best
     * query timing, fold tokenization into both phases, derive
     * qps = n_queries / query_time and dps = n_docs / index_time.

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.bench.Analysis
+import graft.util.SynthCorpus
+
+/** Facade lifecycle (reference §3.1: load → index → retrieve → evaluate →
+  * save_dict report) and the report→analysis loop: our RunReport files
+  * must flow through the SAME glob/flatten/aggregate/pivot pipeline the
+  * reference's analysis scripts run over its runs.
+  */
+class GraftSpec extends SparkTestBase {
+
+  test("full lifecycle run: results, metrics, save_dict report") {
+    import spark.implicits._
+    val corpus = spark.createDataset(SynthCorpus.gen(4, 25)).toDF()
+      .selectExpr("concat(repo, ':', path, '@', commit) as docId", "content")
+    val queries = SynthCorpus.queries.toDF("qid", "query")
+    // qrels: each query's own top doc by the composed scorer is graded 1 —
+    // enough to make metrics non-trivial and deterministic
+    val idxDir = tmpDir("graft-facade-idx")
+    val resultDir = tmpDir("graft-facade-results")
+    val prelim = Graft.run(spark, corpus, queries, Seq.empty[(String, String, Int)]
+      .toDF("qid", "docId", "grade"), idxDir, k = 5)
+    val qrels = prelim.results.where($"rank" === 1)
+      .selectExpr("qid", "docId", "1 as grade")
+
+    val run = Graft.run(spark, corpus, queries, qrels, idxDir,
+      k = 5, cutoffs = Seq(1, 10), dataset = "synth-200",
+      resultDir = Some(resultDir))
+    assert(run.results.count() > 0)
+    val m = run.metrics.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(m.keySet == Set(1, 10))
+    assert(m(1) == 1.0, s"rank-1 qrels must give perfect ndcg@1: $m")
+    assert(run.report.numDocs == 100)
+    assert(run.report.timing.contains("index") && run.report.timing.contains("query"))
+    val path = run.reportPath.get
+    assert(Files.exists(Paths.get(path)) &&
+      path.contains("graft-spark") && path.contains("synth-200-"))
+
+    // the report round-trips through the reference-shaped analysis loop
+    val flat = Analysis.flattenRuns(Analysis.loadRuns(spark, resultDir))
+    val row = flat.collect().head
+    assert(row.getAs[String]("model") == "graft-spark")
+    assert(row.getAs[Double]("ndcg@10") == 1.0)
+    assert(row.getAs[Double]("qps") > 0 && row.getAs[Double]("dps") > 0)
+  }
+
+  test("flattenRuns reproduces combine_results timing semantics") {
+    // reference-shaped fixture: numba timing preferred over default,
+    // tokenize_corpus folded into index time (combine_results.py:88-108)
+    val dir = tmpDir("graft-analysis-fixture")
+    Files.createDirectories(Paths.get(dir, "bm25s"))
+    Files.writeString(Paths.get(dir, "bm25s", "ds1-abc.json"),
+      """{"model": "bm25s", "dataset": "ds1", "n_threads": 1,
+        |"stats": {"num_docs": 1000, "num_queries": 100, "num_tokens": 9999},
+        |"timing": {"index": {"elapsed": 8.0},
+        |           "tokenize_corpus": {"elapsed": 2.0},
+        |           "query": {"elapsed": 5.0},
+        |           "query_numba": {"elapsed": 2.0},
+        |           "query_numpy": {"elapsed": 4.0},
+        |           "tokenize_queries": {"elapsed": 0.5}},
+        |"scores": {"ndcg": {"10": 0.5}, "map": {"10": 0.3},
+        |           "recall": {"1000": 0.9}, "precision": {"10": 0.1}}}
+        |""".stripMargin)
+    val flat = Analysis.flattenRuns(Analysis.loadRuns(spark, dir)).collect().head
+    // dps = 1000 / (8 + 2); qps = 100 / (2 + 0.5) — numba preferred
+    assert(math.abs(flat.getAs[Double]("dps") - 100.0) < 1e-9)
+    assert(math.abs(flat.getAs[Double]("qps") - 40.0) < 1e-9)
+    assert(flat.getAs[Double]("ndcg@10") == 0.5)
+    assert(flat.getAs[Double]("r@1000") == 0.9)
+  }
+}
