@@ -177,6 +177,7 @@ object QueryEngine {
     * throughput work.
     */
   def searchExact(index: BM25Index, queries: DataFrame, k: Int): DataFrame = {
+    if (index.numDocs == 0) return emptyResult(index.spark)
     val qt = queryTerms(index, queries)
     // ONE job collects the distinct term set AND the distinct-qid count
     // (the finish-join row bound) — previously a separate queries.count()
@@ -264,6 +265,9 @@ object QueryEngine {
     */
   def searchWand(index: BM25Index, queries: DataFrame, k: Int): DataFrame = {
     val spark = index.spark
+    // empty index: its postings table has no partitions, so the candidate
+    // scan's bucket/term columns would not even resolve
+    if (index.numDocs == 0) return emptyResult(spark)
     val chunkRows = wandQueryChunkRows(spark)
     val head = queries.select(col("qid"), col("query")).limit(chunkRows + 1).collect()
     if (head.isEmpty) return emptyResult(spark)

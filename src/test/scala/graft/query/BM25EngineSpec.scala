@@ -209,6 +209,19 @@ class BM25EngineSpec extends SparkTestBase {
     }
   }
 
+  test("empty corpus: build completes, both paths return zero rows") {
+    val dir = tmpDir("graft-index-empty")
+    import spark.implicits._
+    val empty = Seq.empty[(String, String)].toDF("docId", "content")
+    IndexBuilder.build(spark, empty, dir,
+      IndexBuilder.Config(numSegmentGroups = 1, numBuckets = 4))
+    val idx = new BM25Index(spark, dir)
+    assert(idx.numDocs == 0)
+    val q = Seq(("q1", "binary search")).toDF("qid", "query")
+    assert(QueryEngine.searchWand(idx, q, 5).count() == 0)
+    assert(QueryEngine.searchExact(idx, q, 5).count() == 0)
+  }
+
   test("index stats and properties recorded") {
     val idx = new BM25Index(spark, indexDir)
     assert(idx.params == BM25Params())
