@@ -59,6 +59,20 @@ class PlanSpec extends SparkTestBase {
     assert(!scan.contains("n_chars"), s"unpruned column in scan:\n$scan")
   }
 
+  test("grouped-top-k windows get WindowGroupLimit pushdown (Spark 4)") {
+    assumeFixtures()
+    // rank <= k over row_number windows must plan a WindowGroupLimit:
+    // each task then keeps only k rows per group BEFORE the shuffle, so
+    // the per-group window is not a single-task scale hazard
+    for ((name, df) <- Seq(
+        "bm25_topk" -> graft.entry.DriverQueries.bm25TopkComposed(spark, sfDir),
+        "q3_window_topk" -> graft.entry.DriverQueries.q3WindowTopk(spark, sfDir))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"),
+        s"$name: no WindowGroupLimit pushdown in plan:\n${p.take(4000)}")
+    }
+  }
+
   test("dimension joins broadcast (q2_join_agg)") {
     assumeFixtures()
     val df = graft.entry.DriverQueries.q2JoinAgg(spark, sfDir)
