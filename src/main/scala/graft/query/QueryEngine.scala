@@ -224,6 +224,17 @@ object QueryEngine {
     spark.conf.getOption("spark.graft.scoreAllMinK")
       .map(_.toInt).getOrElse(128)
 
+  /** At ≥ this many queries per chunk, TAAT is selected even at small k:
+    * a large batch amortizes each (term,salt) run's decode across many
+    * queries and raw array accumulation beats per-query cursor machinery
+    * (measured 2.6× at 2.4M docs × 5000 queries × k=10). Small batches /
+    * single queries keep DAAT WAND, whose block-max skipping wins when
+    * decode sharing is moot.
+    */
+  def taatMinBatchQueries(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.taatMinBatchQueries")
+      .map(_.toInt).getOrElse(128)
+
   /** Tokenized query chunks for the WAND/TAAT path (driver-side arrays).
     * Small batches: one collect (the common interactive/bench case).
     * Large batches: stream partition-sized chunks through the driver —
@@ -337,7 +348,8 @@ object QueryEngine {
     val bq = spark.sparkContext.broadcast(qArr)
     val kk = k
 
-    val useTaat = k >= scoreAllMinK(spark)
+    val useTaat = k >= scoreAllMinK(spark) ||
+      qArr.length >= taatMinBatchQueries(spark)
     val shift = index.saltShift
     val P2 = spark.sparkContext.defaultParallelism * 2
 
