@@ -38,8 +38,11 @@ object OpsQueries {
     Dedup.ngramJaccard(docs(spark, sfDir), asciiToks, "doc_id",
       n = 3, threshold = 0.8, roundTo = 6, maxShingleDf = 100)
 
-  val dedupNgramJaccardSql: String =
-    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS toks FROM documents),
+  /** Shared CTE chain for the ngram-jaccard pair oracle (also reused by
+    * the clusters oracle below).
+    */
+  private val ngramPairCtes: String =
+    """t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS toks FROM documents),
       |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks)-1),
       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
       |       FROM t WHERE len(toks) >= 3),
@@ -48,11 +51,41 @@ object OpsQueries {
       |       WHERE df <= 100),
       |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
-      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2)
-      |SELECT id_a, id_b,
-      |  round(inter::DOUBLE/(sza.sz + szb.sz - inter), 6) AS jaccard
-      |FROM inter JOIN sz sza ON id_a = sza.doc_id JOIN sz szb ON id_b = szb.doc_id
-      |WHERE round(inter::DOUBLE/(sza.sz + szb.sz - inter), 6) >= 0.8""".stripMargin
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
+      |jpairs AS (SELECT id_a, id_b,
+      |    round(inter::DOUBLE/(sza.sz + szb.sz - inter), 6) AS jaccard
+      |  FROM inter JOIN sz sza ON id_a = sza.doc_id JOIN sz szb ON id_b = szb.doc_id
+      |  WHERE round(inter::DOUBLE/(sza.sz + szb.sz - inter), 6) >= 0.8)""".stripMargin
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $ngramPairCtes
+       |SELECT id_a, id_b, jaccard FROM jpairs""".stripMargin
+
+  /** Near-dup CLUSTER formation: ngram-jaccard pairs → connected
+    * components → canonical survivor per cluster, over the full table.
+    * DuckDB twin computes components via a recursive transitive closure
+    * (fixture-sized graph), matching min-label semantics exactly.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val pairs = Dedup.ngramJaccard(d, asciiToks, "doc_id",
+      n = 3, threshold = 0.8, roundTo = 6, maxShingleDf = 100)
+    Dedup.clusters(d, "doc_id", pairs)
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |e AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+       |      UNION SELECT id_b, id_a FROM jpairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+       |comp AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY 1)
+       |SELECT d.doc_id AS id,
+       |  least(d.doc_id, coalesce(c.mn, d.doc_id))::BIGINT AS cluster,
+       |  (least(d.doc_id, coalesce(c.mn, d.doc_id)) = d.doc_id) AS keep
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin
 
   /** MinHash+LSH near-dups (no SQL oracle: xxhash64 signatures). The
     * ScalaTest suite checks recall against exact Jaccard.
@@ -520,6 +553,7 @@ object OpsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -543,6 +577,7 @@ object OpsQueries {
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_cosine_topk" -> annCosineTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,

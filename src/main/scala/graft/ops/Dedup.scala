@@ -172,6 +172,64 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** Connected components over an undirected near-dup pair list
+    * (id_a, id_b) — the step that turns pairwise similarity output into
+    * dedup CLUSTERS. Iterative min-label propagation: each round every
+    * node takes the min of its own and its neighbors' labels (one
+    * partial+final `groupBy(min)` + one join per round — no windows, no
+    * single-task hot spots; a boilerplate hub with 10^6 neighbors is just
+    * a big aggregation group). Converges in O(component diameter) rounds;
+    * near-dup clusters are shallow (similarity is near-transitive), so
+    * the default cap is generous. `localCheckpoint` truncates lineage per
+    * round — without it the plan doubles every iteration.
+    *
+    * @return (id, label) for every id appearing in `pairs`; label = min
+    *         id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val e0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = e0.union(e0.select(col("dst"), col("src")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy("src").agg(min("dlabel").as("nmin"))
+        .select(col("src").as("id"), col("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Cluster assignment + canonical-survivor flag for a full document
+    * table given near-dup pairs: docs in no pair form their own cluster.
+    * Output: (id, cluster, keep) — cluster = min id of the component,
+    * keep marks the survivor.
+    */
+  def clusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    docs.select(col(idCol).as("id"))
+      .join(comp.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster"))
+      .withColumn("keep", col("cluster") === col("id"))
+  }
+
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold,
     * LSH-blocked (reuses Similarity's hyperplane buckets) then exactly
     * verified.

@@ -60,6 +60,48 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("connected components match union-find on random graphs (seed 42)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(30)
+      val edges = Seq.fill(20 + rnd.nextInt(30))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // scalar union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> {
+          // min id in the component = repeatedly find
+          val root = find(id.toInt)
+          edges.flatMap(e => Seq(e._1, e._2)).distinct
+            .filter(x => find(x.toInt) == root).min
+        }).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("clusters: full-table assignment with survivors; chains converge") {
+    import spark.implicits._
+    // a 6-node path 0-1-2-3-4-5 (diameter 5) + isolated docs 10, 11
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val table = (Seq(0L, 1L, 2L, 3L, 4L, 5L, 10L, 11L)).map(i => (i, s"d$i"))
+      .toDF("id", "text")
+    val r = Dedup.clusters(table, "id", pairs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    (0L to 5L).foreach(i => assert(r(i) == (0L, i == 0L), s"node $i: ${r(i)}"))
+    assert(r(10L) == (10L, true) && r(11L) == (11L, true))
+  }
+
   test("de-skewed plan shapes: no Window exec in exact dedup / ngram jaccard") {
     // scale gate: a Window.partitionBy(grp|sh) would place an entire
     // duplicate group / a ubiquitous shingle's full df on ONE task
