@@ -69,8 +69,12 @@ object DriverQueries {
   def bm25TopkMethod(spark: SparkSession, sfDir: String,
                      p: graft.score.BM25Params): DataFrame = {
     val docs = t(spark, sfDir, "documents")
+    // three consumers (tf→df, dl, and the scoring join) would otherwise
+    // re-run tokenize per branch; released by the driver's per-query
+    // cache clear
     val ftok = docs.select(col("doc_id"),
       explode(asciiTokens(col("text"))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = ftok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = ftok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
