@@ -61,6 +61,34 @@ object Graft {
     eval.TrecEval.evaluate(
       results.selectExpr("qid", "docId", "score"), qrels, cutoffs)
 
+  /** The reference's split rule: `dev` for msmarco, `test` otherwise
+    * (benchmark/on_bm25s.py:46-49).
+    */
+  def defaultSplit(dataset: String): String =
+    if (dataset == "msmarco") "dev" else "test"
+
+  /** BEIR-folder entry point, mirroring
+    * `GenericDataLoader(data_folder).load(split)` + the harness run
+    * (benchmark/on_bm25s.py:41-51): expects `corpus.jsonl`,
+    * `queries.jsonl` and `qrels/<split>.tsv` under `dataFolder`.
+    */
+  def runBeir(spark: SparkSession, dataFolder: String, indexDir: String,
+              dataset: String = "", split: String = "",
+              cfg: IndexBuilder.Config = IndexBuilder.Config(),
+              k: Int = 1000,
+              resultDir: Option[String] = None): Run = {
+    val ds =
+      if (dataset.nonEmpty) dataset
+      else new java.io.File(dataFolder).getName
+    val sp = if (split.nonEmpty) split else defaultSplit(ds)
+    run(spark,
+      corpus = sources.BeirReader.readCorpusContent(spark, s"$dataFolder/corpus.jsonl"),
+      queries = sources.BeirReader.readQueries(spark, s"$dataFolder/queries.jsonl"),
+      qrels = sources.BeirReader.readQrels(spark, s"$dataFolder/qrels/$sp.tsv"),
+      indexDir = indexDir, cfg = cfg, k = k,
+      dataset = ds, resultDir = resultDir)
+  }
+
   /** Full lifecycle: (re)build or resume the index at `indexDir`, retrieve
     * top-k for `queries`, evaluate against `qrels` at `cutoffs`, and
     * produce (optionally write) a save_dict-schema RunReport.

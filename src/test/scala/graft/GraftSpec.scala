@@ -47,6 +47,31 @@ class GraftSpec extends SparkTestBase {
     assert(row.getAs[Double]("qps") > 0 && row.getAs[Double]("dps") > 0)
   }
 
+  test("runBeir: a BEIR data folder end to end, reference split rule") {
+    import spark.implicits._
+    assert(Graft.defaultSplit("msmarco") == "dev")
+    assert(Graft.defaultSplit("scifact") == "test")
+    val folder = tmpDir("beir-folder")
+    Files.writeString(Paths.get(folder, "corpus.jsonl"),
+      """{"_id": "d1", "title": "Trees", "text": "binary search tree insert"}
+        |{"_id": "d2", "title": "Maps", "text": "hash map bucket probe"}
+        |{"_id": "d3", "title": "Sorts", "text": "merge sort pivot quick"}
+        |""".stripMargin)
+    Files.writeString(Paths.get(folder, "queries.jsonl"),
+      """{"_id": "q1", "text": "binary tree"}
+        |{"_id": "q2", "text": "hash probe"}
+        |""".stripMargin)
+    Files.createDirectories(Paths.get(folder, "qrels"))
+    Files.writeString(Paths.get(folder, "qrels", "test.tsv"),
+      "query-id\tcorpus-id\tscore\nq1\td1\t1\nq2\td2\t1\n")
+    val run = Graft.runBeir(spark, folder, tmpDir("beir-folder-idx"), k = 3)
+    val top = run.results.where($"rank" === 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(top == Map("q1" -> "d1", "q2" -> "d2"))
+    val ndcg1 = run.metrics.where($"cutoff" === 1).head().getDouble(1)
+    assert(ndcg1 == 1.0)
+  }
+
   test("flattenRuns reproduces combine_results timing semantics") {
     // reference-shaped fixture: numba timing preferred over default,
     // tokenize_corpus folded into index time (combine_results.py:88-108)
