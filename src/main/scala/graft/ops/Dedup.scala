@@ -180,20 +180,36 @@ object Dedup {
     * single-task hot spots; a boilerplate hub with 10^6 neighbors is just
     * a big aggregation group). Converges in O(component diameter) rounds;
     * near-dup clusters are shallow (similarity is near-transitive), so
-    * the default cap is generous. `localCheckpoint` truncates lineage per
-    * round — without it the plan doubles every iteration.
+    * the default cap is generous. Lineage is truncated per round —
+    * without it the plan doubles every iteration; set
+    * `spark.graft.ccCheckpointDir` for a fault-tolerant reliable
+    * checkpoint instead of the local-mode `localCheckpoint` default.
+    * Convergence is observed inside the label job (no extra probe job).
     *
     * @return (id, label) for every id appearing in `pairs`; label = min
     *         id of the component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    // Durability: `localCheckpoint` (executor-local blocks) is the right
+    // local-mode default, but it is NOT fault-tolerant — at cluster scale
+    // one executor loss invalidates the truncated lineage mid-loop. Setting
+    // `spark.graft.ccCheckpointDir` switches every round's label table to a
+    // reliable checkpoint under that (shared-filesystem) dir instead.
+    val reliableDir = spark.conf.getOption("spark.graft.ccCheckpointDir")
+    reliableDir.foreach { d =>
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(d)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (reliableDir.isDefined) df.checkpoint() else df.localCheckpoint()
+
     val e0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = e0.union(e0.select(col("dst"), col("src")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -201,14 +217,25 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy("src").agg(min("dlabel").as("nmin"))
         .select(col("src").as("id"), col("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      // Convergence detection rides INSIDE the label job via an observed
+      // metric (labels only ever decrease, so nmin < label ⇔ the row
+      // changed) — one job per round, not label job + join/count probe.
+      // The checkpoint is the action that runs `observed`'s plan, so its
+      // accumulator-backed observedMetrics are readable synchronously
+      // right after (no async listener involved).
+      val observed = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .where(col("label") =!= col("old")).count()
-      labels = next
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("chg"))
+        .observe("cc_round", sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
+      val next = truncate(observed)
+      changed = observed.queryExecution.observedMetrics.get("cc_round") match {
+        case Some(row) if row.get(0) != null => row.getLong(0)
+        case Some(_) => 0L // null sum: empty label table
+        case None => // defensive: metric missing — fall back to a probe job
+          next.where(col("chg")).count()
+      }
+      labels = next.select("id", "label")
       iter += 1
     }
     require(changed == 0,

@@ -314,8 +314,8 @@ object QueryEngine {
     // really are bounded by one chunk. Temp files are removed at JVM exit
     // (the result DataFrame reads them lazily until then).
     val nQueries = grouped.count()
-    val tmp = java.nio.file.Files.createTempDirectory("graft-wand-chunks")
-    chunkTmpDirs.add(tmp.toString) // one JVM-wide cleanup hook, not one per call
+    val tmp = s"${chunkSpillRoot(index)}/${java.util.UUID.randomUUID()}"
+    registerChunkTmpDir(spark, tmp) // one JVM-wide cleanup hook, not one per call
     val chunkDirs = scala.collection.mutable.ArrayBuffer.empty[String]
     queryChunks(index, queries, nQueries).filter(_.nonEmpty).foreach { qArr =>
       val (partials, bq) = wandPartialsWithHandle(index, qArr, k)
@@ -490,15 +490,35 @@ object QueryEngine {
     }
   }
 
-  /** Temp dirs of chunked-batch spills, removed at JVM exit (results read
-    * them lazily until then). One hook for the whole JVM.
+  /** Root for over-chunk batch result spills. MUST be visible to every
+    * executor AND the driver — on a multi-node cluster a driver-local
+    * temp dir would scatter task output across executor-local disks and
+    * the driver-side read-back would silently miss rows. Default: a
+    * `_tmp-query` dir under the index's own filesystem (wherever the
+    * index lives, all nodes can read/write it); `spark.graft.chunkSpillDir`
+    * overrides (e.g. a dedicated scratch bucket).
     */
-  private val chunkTmpDirs =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  private[graft] def chunkSpillRoot(index: BM25Index): String =
+    index.spark.conf.getOption("spark.graft.chunkSpillDir")
+      .getOrElse(s"${index.indexDir}/_tmp-query")
+
+  /** Temp dirs of chunked-batch spills, removed at JVM exit (results read
+    * them lazily until then). One hook for the whole JVM; deletion goes
+    * through the Hadoop FileSystem API so the SAME path that Spark wrote
+    * is the one removed, whatever filesystem the spill root resolves to.
+    */
+  private val chunkTmpDirs = java.util.Collections.synchronizedMap(
+    new java.util.HashMap[String, org.apache.hadoop.conf.Configuration]())
+  private def registerChunkTmpDir(spark: SparkSession, dir: String): Unit =
+    chunkTmpDirs.put(dir, spark.sparkContext.hadoopConfiguration): Unit
   locally {
     sys.addShutdownHook {
-      chunkTmpDirs.forEach(d =>
-        graft.util.Dirs.deleteRecursively(new java.io.File(d)))
+      chunkTmpDirs.forEach { (d, conf) =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(conf).delete(p, true): Unit
+        } catch { case _: Throwable => () }
+      }
     }
   }
 

@@ -102,6 +102,55 @@ class DedupSpec extends SparkTestBase {
     assert(r(10L) == (10L, true) && r(11L) == (11L, true))
   }
 
+  test("connectedComponents: one job per round (convergence observed in-job)") {
+    import spark.implicits._
+    // single edge -> exactly 2 rounds (one change round + one confirm).
+    // Expected jobs with AQE off and broadcast joins off (each broadcast
+    // exchange is otherwise its own job): init-label checkpoint (1) + one
+    // label job per round (2) + the final count (1) = 4. The pre-fix
+    // shape ran a second join+count probe job per round — gate it out.
+    val edges = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = Dedup.connectedComponents(edges)
+      assert(got.count() == 2)
+      // listener events are async: wait for the count to settle
+      var prev = -1
+      while (prev != jobs.get()) { prev = jobs.get(); Thread.sleep(300) }
+      assert(jobs.get() <= 4, s"${jobs.get()} jobs for a 2-round CC " +
+        "(expected 4: init + 1/round + final count — is the convergence " +
+        "probe running as its own job again?)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("connectedComponents: reliable checkpoint dir (cluster durability)") {
+    import spark.implicits._
+    val ckpt = tmpDir("graft-cc-ckpt")
+    spark.conf.set("spark.graft.ccCheckpointDir", ckpt)
+    try {
+      val got = Dedup.connectedComponents(
+          Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
+      // rounds actually checkpointed to the reliable dir
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"no reliable checkpoint files under $ckpt")
+    } finally spark.conf.unset("spark.graft.ccCheckpointDir")
+  }
+
   test("de-skewed plan shapes: no Window exec in exact dedup / ngram jaccard") {
     // scale gate: a Window.partitionBy(grp|sh) would place an entire
     // duplicate group / a ubiquitous shingle's full df on ONE task

@@ -157,6 +157,36 @@ class BM25EngineSpec extends SparkTestBase {
     }
   }
 
+  test("over-chunk spill derives from the index filesystem, not java.io.tmpdir") {
+    // cluster-safety gate: chunk results must land where EVERY node can
+    // reach them — under the index dir by default, the conf override when
+    // set — never a driver-local temp dir
+    val idx = new BM25Index(spark, indexDir)
+    // the root DERIVES from the index location (shared by all nodes) —
+    // in these local tests indexDir itself is a temp dir, so the gate is
+    // the derivation, not the absolute prefix
+    assert(QueryEngine.chunkSpillRoot(idx) == s"$indexDir/_tmp-query")
+    try {
+      spark.conf.set("spark.graft.wandQueryChunkRows", "3")
+      assert(QueryEngine.searchWand(idx, queriesDf, k).count() > 0)
+      val root = new java.io.File(s"$indexDir/_tmp-query")
+      val runs = Option(root.listFiles()).getOrElse(Array.empty)
+      assert(runs.nonEmpty, s"no spill run dirs under $root")
+      assert(runs.exists(r => Option(r.listFiles()).getOrElse(Array.empty)
+        .exists(_.getName.startsWith("chunk-"))), "no chunk dirs in spill run")
+
+      val custom = tmpDir("graft-spill-custom")
+      spark.conf.set("spark.graft.chunkSpillDir", custom)
+      assert(QueryEngine.chunkSpillRoot(idx) == custom)
+      assert(QueryEngine.searchWand(idx, queriesDf, k).count() > 0)
+      assert(Option(new java.io.File(custom).listFiles())
+        .getOrElse(Array.empty).nonEmpty, s"conf spill dir $custom unused")
+    } finally {
+      spark.conf.unset("spark.graft.wandQueryChunkRows")
+      spark.conf.unset("spark.graft.chunkSpillDir")
+    }
+  }
+
   test("deep-k partial emission is bounded by salt-bucket cap, not numSalts") {
     // the scale contract: per query the pre-merge candidate rows are at
     // most min(numSalts, deepKSaltBuckets) × k — independent of how many
