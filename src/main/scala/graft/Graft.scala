@@ -71,6 +71,13 @@ object Graft {
     * `GenericDataLoader(data_folder).load(split)` + the harness run
     * (benchmark/on_bm25s.py:41-51): expects `corpus.jsonl`,
     * `queries.jsonl` and `qrels/<split>.tsv` under `dataFolder`.
+    *
+    * cqadupstack-style multi-corpus folders are auto-detected: when
+    * `dataFolder` has no flat `corpus.jsonl` but its subfolders do, every
+    * sub-corpus is merged with `"<subfolder>_"`-prefixed ids — corpus,
+    * queries AND qrels — before one index is built over the union,
+    * mirroring `merge_cqa_dupstack` (utils/beir.py:38-112; call site
+    * benchmark/on_bm25s.py:43-44).
     */
   def runBeir(spark: SparkSession, dataFolder: String, indexDir: String,
               dataset: String = "", split: String = "",
@@ -81,10 +88,32 @@ object Graft {
       if (dataset.nonEmpty) dataset
       else new java.io.File(dataFolder).getName
     val sp = if (split.nonEmpty) split else defaultSplit(ds)
-    run(spark,
-      corpus = sources.BeirReader.readCorpusContent(spark, s"$dataFolder/corpus.jsonl"),
-      queries = sources.BeirReader.readQueries(spark, s"$dataFolder/queries.jsonl"),
-      qrels = sources.BeirReader.readQrels(spark, s"$dataFolder/qrels/$sp.tsv"),
+    val root = new java.io.File(dataFolder)
+    val (corpus, queries, qrels) =
+      if (new java.io.File(root, "corpus.jsonl").isFile)
+        (sources.BeirReader.readCorpusContent(spark, s"$dataFolder/corpus.jsonl"),
+         sources.BeirReader.readQueries(spark, s"$dataFolder/queries.jsonl"),
+         sources.BeirReader.readQrels(spark, s"$dataFolder/qrels/$sp.tsv"))
+      else {
+        val subs = Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(d => d.isDirectory &&
+            new java.io.File(d, "corpus.jsonl").isFile)
+          .sortBy(_.getName)
+        require(subs.nonEmpty,
+          s"$dataFolder has neither corpus.jsonl nor sub-corpus folders")
+        def part(read: java.io.File => org.apache.spark.sql.DataFrame) =
+          subs.toSeq.map(d => d.getName -> read(d))
+        (sources.CorpusMerge.merge(
+           part(d => sources.BeirReader.readCorpusContent(spark, s"$d/corpus.jsonl")),
+           idCols = Seq("docId")),
+         sources.CorpusMerge.merge(
+           part(d => sources.BeirReader.readQueries(spark, s"$d/queries.jsonl")),
+           idCols = Seq("qid")),
+         sources.CorpusMerge.merge(
+           part(d => sources.BeirReader.readQrels(spark, s"$d/qrels/$sp.tsv")),
+           idCols = Seq("qid", "docId")))
+      }
+    run(spark, corpus = corpus, queries = queries, qrels = qrels,
       indexDir = indexDir, cfg = cfg, k = k,
       dataset = ds, resultDir = resultDir)
   }
@@ -92,6 +121,19 @@ object Graft {
   /** Full lifecycle: (re)build or resume the index at `indexDir`, retrieve
     * top-k for `queries`, evaluate against `qrels` at `cutoffs`, and
     * produce (optionally write) a save_dict-schema RunReport.
+    *
+    * Reference parity: when qrels are supplied, queries are first
+    * restricted to the split's qrels query set (a left-semi join), exactly
+    * as `GenericDataLoader.load(split)` does — so num_queries, qps and the
+    * timed query span are comparable with reference result files (msmarco
+    * retrieves its ~7k dev-qrels queries, not all ~509k). Pass
+    * `filterQueriesByQrels = false` (or empty qrels) to retrieve everything.
+    *
+    * Caching: every intermediate this call pins (retrieval results, the
+    * evaluator's tables) is released before it returns — looping `run` in
+    * one session accumulates nothing. The returned `results` frame stays
+    * valid but recomputes retrieval if re-consumed; persist it yourself if
+    * you iterate over it repeatedly.
     */
   def run(spark: SparkSession,
           corpus: DataFrame, queries: DataFrame, qrels: DataFrame,
@@ -101,27 +143,40 @@ object Graft {
           cutoffs: Seq[Int] = eval.TrecEval.DefaultCutoffs,
           model: String = "graft-spark",
           dataset: String = "synthetic",
-          resultDir: Option[String] = None): Run = {
+          resultDir: Option[String] = None,
+          filterQueriesByQrels: Boolean = true): Run = {
     val timer = new Timer()
 
     timer.start("index") // includes tokenization (combine_results folds it)
     val index = buildIndex(spark, corpus, indexDir, cfg)
     timer.stop("index")
 
+    val evalQueries =
+      if (filterQueriesByQrels && qrels.head(1).nonEmpty)
+        queries.join(qrels.select("qid").distinct(), Seq("qid"), "left_semi")
+      else queries
+
     timer.start("query")
-    val results = search(index, queries, k)
+    val results = search(index, evalQueries, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nHits = results.count() // materialize inside the timed span
     timer.stop("query")
     require(nHits >= 0)
 
-    val metrics = evaluate(results, qrels, cutoffs)
+    val metrics = evaluate(results, qrels, cutoffs) // eager; releases its caches
     val byCutoff = metrics.collect().map { r =>
       r.getInt(0).toString ->
         (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
     }.toMap
     def metric(pick: ((Double, Double, Double, Double)) => Double) =
       byCutoff.map { case (c, v) => c -> pick(v) }
+
+    // derived from the PERSISTED results (one cheap cached scan) — not a
+    // recompute job over the queries input. Queries with zero hits (all
+    // OOV/stopword) are not counted; on qrels-filtered real corpora the
+    // sets coincide.
+    val numQueries = results.select("qid").distinct().count()
+    results.unpersist(blocking = false)
 
     val rt = Runtime.getRuntime
     val report = RunReport(
@@ -138,7 +193,7 @@ object Graft {
       topK = k,
       maxMemGb = (rt.totalMemory() - rt.freeMemory()) / 1e9,
       numDocs = index.numDocs,
-      numQueries = queries.count(),
+      numQueries = numQueries,
       numTokens = index.props.getOrElse("numTokens", "0").toLong,
       timing = timer.results,
       scores = Map(

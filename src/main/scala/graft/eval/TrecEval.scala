@@ -35,9 +35,8 @@ object TrecEval {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // `ranked` and `ideal` feed EVERY cutoff branch below — persist them so
     // the upstream lineage (including the caller's whole scoring pipeline)
-    // runs once, not once per cutoff (measured ~2x on eval_metrics).
-    // Callers own release after the consuming action (driver entries clear
-    // the cache per query).
+    // runs once, not once per cutoff (measured ~2x on eval_metrics); both
+    // are unpersisted before returning (the result is computed eagerly).
     val ranked = results
       .withColumn("rank", row_number().over(w))
       .join(qrels.select(col("qid"), col("docId"), col("grade")),
@@ -78,12 +77,21 @@ object TrecEval {
           (coalesce(col("hits"), lit(0L)).cast("double") / col("n_rel")).as("recall"),
           (coalesce(col("hits"), lit(0L)).cast("double") / k).as("p"))
     }
-    perCut.reduce(_ unionByName _)
+    val agg = perCut.reduce(_ unionByName _)
       .groupBy("cutoff")
       .agg(round(avg("ndcg"), roundTo).as("ndcg"),
         round(avg("ap"), roundTo).as("map"),
         round(avg("recall"), roundTo).as("recall"),
         round(avg("p"), roundTo).as("p"))
       .orderBy("cutoff")
+    // The final aggregate is ≤ |cutoffs| rows: materialize it eagerly so
+    // the persisted intermediates can be released HERE — library callers
+    // looping evaluate()/run() must not accumulate pinned cache entries
+    // for the JVM lifetime. The returned frame is a local relation.
+    val rows = agg.collect()
+    ranked.unpersist(blocking = false)
+    ideal.unpersist(blocking = false)
+    agg.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), agg.schema)
   }
 }

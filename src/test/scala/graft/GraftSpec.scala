@@ -72,6 +72,71 @@ class GraftSpec extends SparkTestBase {
     assert(ndcg1 == 1.0)
   }
 
+  test("runBeir: cqadupstack-style sub-corpus folders merge into one index") {
+    import spark.implicits._
+    // two BEIR sub-corpora with COLLIDING raw ids (d1, q1 in both) — the
+    // merge must prefix ids so retrieval and qrels stay distinct
+    val root = tmpDir("beir-cqa")
+    def writeSub(name: String, docText: String, queryText: String): Unit = {
+      val d = Paths.get(root, name)
+      Files.createDirectories(d.resolve("qrels"))
+      Files.writeString(d.resolve("corpus.jsonl"),
+        s"""{"_id": "d1", "title": "$name", "text": "$docText"}""" + "\n")
+      Files.writeString(d.resolve("queries.jsonl"),
+        s"""{"_id": "q1", "text": "$queryText"}""" + "\n")
+      Files.writeString(d.resolve("qrels").resolve("test.tsv"),
+        "query-id\tcorpus-id\tscore\nq1\td1\t1\n")
+    }
+    writeSub("android", "intent activity fragment lifecycle", "activity lifecycle")
+    writeSub("gaming", "respawn checkpoint boss arena", "boss arena")
+    val run = Graft.runBeir(spark, root, tmpDir("beir-cqa-idx"), k = 2)
+    assert(run.report.numDocs == 2)
+    assert(run.report.numQueries == 2)
+    val top = run.results.where($"rank" === 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(top == Map("android_q1" -> "android_d1", "gaming_q1" -> "gaming_d1"))
+    val ndcg1 = run.metrics.where($"cutoff" === 1).head().getDouble(1)
+    assert(ndcg1 == 1.0)
+  }
+
+  test("run: qrels-filtered query set (GenericDataLoader parity)") {
+    import spark.implicits._
+    val corpus = spark.createDataset(SynthCorpus.gen(2, 10)).toDF()
+      .selectExpr("concat(repo, ':', path, '@', commit) as docId", "content")
+    val queries = SynthCorpus.queries.toDF("qid", "query")
+    val someQid = SynthCorpus.queries.head._1
+    val run = Graft.run(spark, corpus, queries,
+      // qrels name ONE query -> only that query is retrieved/reported
+      Seq((someQid, "nonexistent-doc", 1)).toDF("qid", "docId", "grade"),
+      tmpDir("graft-filter-idx"), k = 3)
+    assert(run.report.numQueries == 1)
+    assert(run.results.select("qid").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(someQid))
+  }
+
+  test("looping run leaves no pinned cache entries behind") {
+    import spark.implicits._
+    val corpus = spark.createDataset(SynthCorpus.gen(2, 10)).toDF()
+      .selectExpr("concat(repo, ':', path, '@', commit) as docId", "content")
+    val queries = SynthCorpus.queries.toDF("qid", "query")
+    val qrels = Seq((SynthCorpus.queries.head._1, "x", 1))
+      .toDF("qid", "docId", "grade")
+    val idxDir = tmpDir("graft-leak-idx")
+    def settledRddCount(): Int = {
+      // unpersist is async: wait for the persistent-RDD set to settle
+      var prev = -1; var cur = spark.sparkContext.getPersistentRDDs.size
+      while (prev != cur) { prev = cur; Thread.sleep(300)
+        cur = spark.sparkContext.getPersistentRDDs.size }
+      cur
+    }
+    Graft.run(spark, corpus, queries, qrels, idxDir, k = 3)
+    val after1 = settledRddCount()
+    Graft.run(spark, corpus, queries, qrels, idxDir, k = 3)
+    val after2 = settledRddCount()
+    assert(after2 <= after1,
+      s"pinned RDDs grew across runs: $after1 -> $after2 (facade cache leak)")
+  }
+
   test("flattenRuns reproduces combine_results timing semantics") {
     // reference-shaped fixture: numba timing preferred over default,
     // tokenize_corpus folded into index time (combine_results.py:88-108)

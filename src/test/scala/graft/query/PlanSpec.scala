@@ -73,6 +73,25 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("every row_number window in ANY entry plan gets WindowGroupLimit") {
+    assumeFixtures()
+    // the generalized grouped-top-k gate: no driver entry may introduce a
+    // row_number window whose per-group rows are not task-side limited
+    // before the shuffle (the single-task-per-group scale hazard). Entries
+    // with no window pass vacuously; a future entry regressing to an
+    // ungated grouped sort fails here by name.
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        spark.catalog.clearCache() // entries persist intermediates
+        if (plan.contains("row_number") && !plan.contains("WindowGroupLimit"))
+          Some(name)
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"entries with un-limited row_number windows: $offenders")
+  }
+
   test("dimension joins broadcast (q2_join_agg)") {
     assumeFixtures()
     val df = graft.entry.DriverQueries.q2JoinAgg(spark, sfDir)
