@@ -112,7 +112,12 @@ object Bench {
     // slowly at this depth, so WAND prunes far less than at k=10.
     val spark = BenchCore.session(cpus)
     BenchCore.bm25Pass(spark, benchDocs / 20, 50, reps = 1) // JIT warmup
-    val (dps, qps, lats) = BenchCore.bm25Pass(spark, benchDocs, 1200, reps = 2)
+    // headline measured as TWO single-rep passes INTERLEAVED around the
+    // per-entry suite, best-of kept — same discipline as the scaling legs:
+    // co-tenant slowdown waves last minutes, so back-to-back reps land in
+    // the same wave and min-of-reps buys nothing; samples minutes apart
+    // give one of them a chance at a clean window.
+    val (dps1, qps1, lats1) = BenchCore.bm25Pass(spark, benchDocs, 1200, reps = 1)
     // secondary: small-k ad-hoc depth, for continuity with round-1 numbers
     val (_, qpsK10, _) = BenchCore.bm25Pass(spark, benchDocs / 10, 1200, k = 10, reps = 1)
     spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
@@ -126,6 +131,10 @@ object Bench {
         spark.catalog.clearCache()
         name -> sec
     }
+    val (dps2, qps2, lats2) = BenchCore.bm25Pass(spark, benchDocs, 1200, reps = 1)
+    val dps = math.max(dps1, dps2)
+    val qps = math.max(qps1, qps2)
+    val lats = if (qps2 > qps1) lats2 else lats1
     spark.stop()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -145,6 +154,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","bm25_bench_docs":$benchDocs,"k":1000,"index_dps":${f"$dps%.1f"}""" +
+      s""","rounds_index_dps":${arr(Seq(dps1, dps2))},"rounds_query_qps":${arr(Seq(qps1, qps2))}""" +
       s""","query_qps":${f"$qps%.1f"},"query_qps_k10":${f"$qpsK10%.1f"}""" +
       s""","query_p50_ms":${f"${pct(lats, 0.5) * 1000}%.1f"},"query_p99_ms":${f"${pct(lats, 0.99) * 1000}%.1f"}""" +
       s""","scaling":{"docs":$scaleDocs,"cpus_low":$scaleLow,"cpus_high":$scaleHigh""" +

@@ -33,65 +33,92 @@ object TrecEval {
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("docId").asc)
     val cw = Window.partitionBy("qid").orderBy("rank")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // `ranked` and `ideal` feed EVERY cutoff branch below — persist them so
-    // the upstream lineage (including the caller's whole scoring pipeline)
-    // runs once, not once per cutoff (measured ~2x on eval_metrics); both
-    // are unpersisted before returning (the result is computed eagerly).
+    // The caller's qrels lineage is persisted exactly ONCE (it feeds the
+    // ranked join and the R/ideal derivations — unpersisted it re-ran per
+    // consumer, measured 3× the entry cost on eval_metrics, whose qrels
+    // derive from a full corpus tokenization) and released before
+    // returning. `ranked`/`ideal` need NO cache: every cutoff is computed
+    // in a single aggregation pass via conditional sums, so each table is
+    // scanned once — at corpus scale this also avoids materializing a
+    // |queries|×k-row columnar cache just to scan it |cutoffs| times.
+    val q = qrels.select(col("qid"), col("docId"), col("grade"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = results
       .withColumn("rank", row_number().over(w))
-      .join(qrels.select(col("qid"), col("docId"), col("grade")),
-        Seq("qid", "docId"), "left")
+      .join(q, Seq("qid", "docId"), "left")
       .select(col("qid"), col("rank"),
         coalesce(col("grade"), lit(0)).as("grade"))
       .withColumn("rel", when(col("grade") > 0, 1).otherwise(0))
       .withColumn("prec", sum(col("rel")).over(cw).cast("double") / col("rank"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // per-query relevant count R and ideal gains by rank
-    val rels = qrels.where(col("grade") > 0)
+    val rels = q.where(col("grade") > 0)
     val r = rels.groupBy("qid").agg(count(lit(1)).as("n_rel"))
     val iw = Window.partitionBy("qid").orderBy(col("grade").desc, col("docId").asc)
     val ideal = rels.withColumn("irank", row_number().over(iw))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def gain(g: Column): Column = pow(lit(2.0), g.cast("double")) - 1.0
     def disc(rk: Column): Column = lit(1.0) / log2(rk.cast("double") + 1.0)
 
-    val perCut = cutoffs.map { k =>
-      val dcg = ranked.where(col("rank") <= k)
-        .groupBy("qid")
-        .agg(sum(gain(col("grade")) * disc(col("rank"))).as("dcg"),
-          sum(col("rel")).as("hits"),
-          // AP numerator: Σ_{i≤k, rel_i} P@i (P@i precomputed by window)
-          sum(when(col("rel") === 1, col("prec")).otherwise(0.0)).as("ap_num"))
-      val idcg = ideal.where(col("irank") <= k)
-        .groupBy("qid").agg(sum(gain(col("grade")) * disc(col("irank"))).as("idcg"))
-      r
-        .join(dcg, Seq("qid"), "left")
-        .join(idcg, Seq("qid"), "left")
-        .select(
-          lit(k).as("cutoff"), col("qid"),
-          when(coalesce(col("idcg"), lit(0.0)) > 0.0,
-            coalesce(col("dcg"), lit(0.0)) / col("idcg")).otherwise(0.0).as("ndcg"),
-          (coalesce(col("ap_num"), lit(0.0)) / col("n_rel")).as("ap"),
-          (coalesce(col("hits"), lit(0L)).cast("double") / col("n_rel")).as("recall"),
-          (coalesce(col("hits"), lit(0L)).cast("double") / k).as("p"))
+    // ONE pass over ranked computes dcg/hits/ap_num for EVERY cutoff
+    // (conditional aggregation), one pass over ideal computes every idcg
+    val rankedCols = cutoffs.flatMap { k =>
+      Seq(
+        sum(when(col("rank") <= k, gain(col("grade")) * disc(col("rank"))))
+          .as(s"dcg_$k"),
+        sum(when(col("rank") <= k, col("rel"))).as(s"hits_$k"),
+        // AP numerator: Σ_{i≤k, rel_i} P@i (P@i precomputed by window)
+        sum(when(col("rank") <= k && col("rel") === 1, col("prec")))
+          .as(s"ap_$k"))
     }
-    val agg = perCut.reduce(_ unionByName _)
-      .groupBy("cutoff")
-      .agg(round(avg("ndcg"), roundTo).as("ndcg"),
-        round(avg("ap"), roundTo).as("map"),
-        round(avg("recall"), roundTo).as("recall"),
-        round(avg("p"), roundTo).as("p"))
-      .orderBy("cutoff")
-    // The final aggregate is ≤ |cutoffs| rows: materialize it eagerly so
-    // the persisted intermediates can be released HERE — library callers
-    // looping evaluate()/run() must not accumulate pinned cache entries
-    // for the JVM lifetime. The returned frame is a local relation.
-    val rows = agg.collect()
-    ranked.unpersist(blocking = false)
-    ideal.unpersist(blocking = false)
-    agg.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), agg.schema)
+    val rankedAgg = ranked.groupBy("qid").agg(rankedCols.head, rankedCols.tail: _*)
+    val idealCols = cutoffs.map { k =>
+      sum(when(col("irank") <= k, gain(col("grade")) * disc(col("irank"))))
+        .as(s"idcg_$k")
+    }
+    val idealAgg = ideal.groupBy("qid").agg(idealCols.head, idealCols.tail: _*)
+    val joined = r
+      .join(rankedAgg, Seq("qid"), "left")
+      .join(idealAgg, Seq("qid"), "left")
+
+    // Means stay in WIDE form — one avg per (metric, cutoff) column in a
+    // single aggregation over the per-query rows — and are reshaped to
+    // (cutoff, ndcg, map, recall, p) on the driver after the collect. A
+    // cutoff-wise union-then-groupBy would re-execute `joined`'s whole
+    // lineage once per cutoff; this plan is strictly linear: every input
+    // is scanned exactly once no matter how many cutoffs are evaluated.
+    val meanCols = cutoffs.flatMap { k =>
+      Seq(
+        round(avg(when(coalesce(col(s"idcg_$k"), lit(0.0)) > 0.0,
+            coalesce(col(s"dcg_$k"), lit(0.0)) / col(s"idcg_$k"))
+          .otherwise(0.0)), roundTo).as(s"ndcg_$k"),
+        round(avg(coalesce(col(s"ap_$k"), lit(0.0)) / col("n_rel")), roundTo)
+          .as(s"ap_$k"),
+        round(avg(coalesce(col(s"hits_$k"), lit(0L)).cast("double") / col("n_rel")),
+          roundTo).as(s"recall_$k"),
+        round(avg(coalesce(col(s"hits_$k"), lit(0L)).cast("double") / k), roundTo)
+          .as(s"p_$k"))
+    }
+    // Materialized eagerly (≤ 1 row) so the persisted input can be
+    // released HERE — library callers looping evaluate()/run() must not
+    // accumulate pinned cache entries for the JVM lifetime. The returned
+    // frame is a local relation.
+    val wide = joined.agg(meanCols.head, meanCols.tail: _*).collect()
+    q.unpersist(blocking = false)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("cutoff", IntegerType), StructField("ndcg", DoubleType),
+      StructField("map", DoubleType), StructField("recall", DoubleType),
+      StructField("p", DoubleType)))
+    val out: Seq[org.apache.spark.sql.Row] =
+      if (wide.isEmpty || wide.head.isNullAt(0)) Seq.empty // no evaluable queries
+      else cutoffs.sorted.map { k =>
+        val r0 = wide.head
+        org.apache.spark.sql.Row(k,
+          r0.getAs[Double](s"ndcg_$k"), r0.getAs[Double](s"ap_$k"),
+          r0.getAs[Double](s"recall_$k"), r0.getAs[Double](s"p_$k"))
+      }
+    qrels.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out: _*), schema)
   }
 }
