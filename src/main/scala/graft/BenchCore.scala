@@ -47,6 +47,43 @@ private[graft] object BenchCore {
     val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Probe-tool session: like [[session]] but with a per-tool local dir
+    * and a fixed 64-partition shuffle (probes compare kernel variants, not
+    * parallelism levels).
+    */
+  def probeSession(cpus: Int, tool: String): SparkSession = {
+    val s = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", s"$workBase/spark-local-$tool")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Build-or-reuse the probes' shared cached index for `nDocs` synthetic
+    * docs at `$workBase/qprobe-index-$nDocs`. ONE generator + ONE config
+    * for every probe tool — the reuse contract across tools holds only
+    * while corpus content and index layout are produced by this single
+    * definition.
+    */
+  def probeIndex(spark: SparkSession, nDocs: Int): BM25Index = {
+    import spark.implicits._
+    val idxDir = s"$workBase/qprobe-index-$nDocs"
+    if (!new graft.store.IcebergLikeStore(idxDir).isComplete) {
+      val corpusDir = s"$workBase/qprobe-corpus-$nDocs"
+      spark.range(0, nDocs, 1, spark.sparkContext.defaultParallelism * 2)
+        .as[Long]
+        .map(i => SynthCorpus.docOf((i / 100).toInt, (i % 100).toInt))
+        .write.mode("overwrite").parquet(corpusDir)
+      val corpus = spark.read.parquet(corpusDir)
+        .selectExpr("concat(repo, ':', path, '@', commit) as docId", "content")
+      IndexBuilder.build(spark, corpus, idxDir,
+        IndexBuilder.Config(numSegmentGroups = 1, numBuckets = 16))
+    }
+    new BM25Index(spark, idxDir)
+  }
+
   /** Build + batch-query throughput at one parallelism level. The corpus is
     * generated distributed and staged as parquet first (untimed), so the
     * timed build measures scan→tokenize→index exactly as a real table read

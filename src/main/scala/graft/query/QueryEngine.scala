@@ -315,7 +315,7 @@ object QueryEngine {
     // (the result DataFrame reads them lazily until then).
     val nQueries = grouped.count()
     val tmp = s"${chunkSpillRoot(index)}/${java.util.UUID.randomUUID()}"
-    registerChunkTmpDir(spark, tmp) // one JVM-wide cleanup hook, not one per call
+    graft.util.TempFs.registerForCleanup(spark, tmp) // removed at JVM exit
     val chunkDirs = scala.collection.mutable.ArrayBuffer.empty[String]
     queryChunks(index, queries, nQueries).filter(_.nonEmpty).foreach { qArr =>
       val (partials, bq) = wandPartialsWithHandle(index, qArr, k)
@@ -496,31 +496,16 @@ object QueryEngine {
     * the driver-side read-back would silently miss rows. Default: a
     * `_tmp-query` dir under the index's own filesystem (wherever the
     * index lives, all nodes can read/write it); `spark.graft.chunkSpillDir`
-    * overrides (e.g. a dedicated scratch bucket).
+    * overrides — REQUIRED when the index location is read-only (published
+    * index on a read-only mount / read-only bucket creds): point it at any
+    * shared-writable scratch location. Spill run dirs are removed at JVM
+    * exit; after a crash-killed driver (no shutdown hook), leftovers under
+    * the root are inert and safe to sweep — nothing under `_tmp-query` is
+    * ever part of the index itself.
     */
   private[graft] def chunkSpillRoot(index: BM25Index): String =
     index.spark.conf.getOption("spark.graft.chunkSpillDir")
       .getOrElse(s"${index.indexDir}/_tmp-query")
-
-  /** Temp dirs of chunked-batch spills, removed at JVM exit (results read
-    * them lazily until then). One hook for the whole JVM; deletion goes
-    * through the Hadoop FileSystem API so the SAME path that Spark wrote
-    * is the one removed, whatever filesystem the spill root resolves to.
-    */
-  private val chunkTmpDirs = java.util.Collections.synchronizedMap(
-    new java.util.HashMap[String, org.apache.hadoop.conf.Configuration]())
-  private def registerChunkTmpDir(spark: SparkSession, dir: String): Unit =
-    chunkTmpDirs.put(dir, spark.sparkContext.hadoopConfiguration): Unit
-  locally {
-    sys.addShutdownHook {
-      chunkTmpDirs.forEach { (d, conf) =>
-        try {
-          val p = new org.apache.hadoop.fs.Path(d)
-          p.getFileSystem(conf).delete(p, true): Unit
-        } catch { case _: Throwable => () }
-      }
-    }
-  }
 
   private def emptyResult(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._

@@ -30,32 +30,10 @@ object BatchProbe {
     val nQueries = if (args.length > 2) args(2).toInt else 60000
     val k = if (args.length > 3) args(3).toInt else 10
     val nChunks = if (args.length > 4) args(4).toInt else 3
-    val base = sys.env.get("GRAFT_TMPDIR").orElse(
-      if (new java.io.File("/dev/shm").canWrite) Some("/dev/shm/graft-bench") else None)
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    new java.io.File(base).mkdirs()
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "64")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.local.dir", s"$base/spark-local-bprobe")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
+    val spark = graft.BenchCore.probeSession(cpus, "bprobe")
 
     // share QueryProbe's cached index for the same corpus size
-    val idxDir = s"$base/qprobe-index-$nDocs"
-    if (!new graft.store.IcebergLikeStore(idxDir).isComplete) {
-      t("build index") {
-        spark.range(0, nDocs, 1, cpus * 2).as[Long]
-          .map(i => SynthCorpus.docOf((i / 100).toInt, (i % 100).toInt))
-          .write.mode("overwrite").parquet(s"$base/bprobe-corpus")
-        val corpus = spark.read.parquet(s"$base/bprobe-corpus")
-          .selectExpr("concat(repo, ':', path, '@', commit) as docId", "content")
-        graft.index.IndexBuilder.build(spark, corpus, idxDir,
-          graft.index.IndexBuilder.Config(numSegmentGroups = 1, numBuckets = 16))
-      }
-    }
-    val idx = new BM25Index(spark, idxDir)
+    val idx = t("open/build index")(graft.BenchCore.probeIndex(spark, nDocs))
     println(s"[bprobe] numDocs=${idx.numDocs} nQueries=$nQueries k=$k chunks=$nChunks")
 
     val baseQ = SynthCorpus.queries

@@ -27,32 +27,11 @@ object QueryProbe {
     val nDocs = if (args.length > 1) args(1).toInt else 480000
     val nQueries = if (args.length > 2) args(2).toInt else 1200
     val k = if (args.length > 3) args(3).toInt else 1000
-    val base = sys.env.get("GRAFT_TMPDIR").orElse(
-      if (new java.io.File("/dev/shm").canWrite) Some("/dev/shm/graft-bench") else None)
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    new java.io.File(base).mkdirs()
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "64")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.local.dir", s"$base/spark-local-qprobe")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.BenchCore.probeSession(cpus, "qprobe")
     import spark.implicits._
 
-    // reuse a cached index for this (nDocs) if present — probe runs iterate
-    val idxDir = s"$base/qprobe-index-$nDocs"
-    if (!new graft.store.IcebergLikeStore(idxDir).isComplete) {
-      t("build index") {
-        spark.range(0, nDocs, 1, cpus * 2).as[Long]
-          .map(i => SynthCorpus.docOf((i / 100).toInt, (i % 100).toInt))
-          .write.mode("overwrite").parquet(s"$base/qprobe-corpus")
-        val corpus = spark.read.parquet(s"$base/qprobe-corpus")
-          .selectExpr("concat(repo, ':', path, '@', commit) as docId", "content")
-        graft.index.IndexBuilder.build(spark, corpus, idxDir,
-          graft.index.IndexBuilder.Config(numSegmentGroups = 1, numBuckets = 16))
-      }
-    }
-    val idx = new BM25Index(spark, idxDir)
+    // build-or-reuse the probes' shared cached index for this nDocs
+    val idx = t("open/build index")(graft.BenchCore.probeIndex(spark, nDocs))
     println(s"[qprobe] numDocs=${idx.numDocs} numSalts=${idx.numSalts} k=$k")
     sys.env.get("GRAFT_WAND_GROUPS").foreach { g =>
       spark.conf.set("spark.graft.wandGroups", g)

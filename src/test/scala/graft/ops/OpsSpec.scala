@@ -139,16 +139,43 @@ class DedupSpec extends SparkTestBase {
     import spark.implicits._
     val ckpt = tmpDir("graft-cc-ckpt")
     spark.conf.set("spark.graft.ccCheckpointDir", ckpt)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
     try {
+      // 0-1-2 chain: label(2) takes two rounds to reach 0, +1 confirm round
       val got = Dedup.connectedComponents(
           Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
-      // rounds actually checkpointed to the reliable dir
-      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
-      assert(files > 0, s"no reliable checkpoint files under $ckpt")
-    } finally spark.conf.unset("spark.graft.ccCheckpointDir")
+      // rounds landed under the reliable dir, and superseded rounds were
+      // deleted as the loop advanced: exactly ONE round dir (the final
+      // labels the returned frame reads) survives the call
+      val roundDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("round-"))
+        .count()
+      assert(roundDirs == 1,
+        s"$roundDirs round dirs under $ckpt — per-round cleanup broken")
+      // one write job per round — the reliable path must not double-compute
+      // the round plan the way checkpoint()-without-persist would. 3 label
+      // rounds + init write + final collect = 5 jobs.
+      var prev = -1
+      while (prev != jobs.get()) { prev = jobs.get(); Thread.sleep(300) }
+      assert(jobs.get() <= 5, s"${jobs.get()} jobs for a 3-round reliable " +
+        "CC (expected 5: init + 1 write/round + final collect)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset("spark.graft.ccCheckpointDir")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("de-skewed plan shapes: no Window exec in exact dedup / ngram jaccard") {
