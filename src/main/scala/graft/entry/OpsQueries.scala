@@ -143,6 +143,35 @@ object OpsQueries {
     Similarity.lshTopK(corpus, queries, k = 5, dims = 64, nBits = 8, probes = 2)
   }
 
+  def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val (corpus, queries) = annInputs(spark, sfDir)
+    Similarity.ivfTopK(corpus, queries, k = 5, nCells = 8, nProbe = 2)
+  }
+
+  /** IVF oracle: cells, assignment, probes, and ranking re-derived in SQL
+    * from the same deterministic centroid rule (md5-ordered ids) and the
+    * same rounded-cosine tie-breaks the Spark operator uses.
+    */
+  val annIvfTopkSql: String =
+    """WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
+      |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 5),
+      |cent AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cid, e AS ce
+      |         FROM (SELECT * FROM c ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8)),
+      |ca AS (SELECT id, e, cid FROM (
+      |         SELECT c.id, c.e, cent.cid,
+      |                row_number() OVER (PARTITION BY c.id
+      |                  ORDER BY round(list_cosine_similarity(c.e, cent.ce), 6) DESC, cent.cid ASC) AS rn
+      |         FROM c, cent) WHERE rn = 1),
+      |qp AS (SELECT qid, e, cid FROM (
+      |         SELECT q.qid, q.e, cent.cid,
+      |                row_number() OVER (PARTITION BY q.qid
+      |                  ORDER BY round(list_cosine_similarity(q.e, cent.ce), 6) DESC, cent.cid ASC) AS rn
+      |         FROM q, cent) WHERE rn <= 2),
+      |s AS (SELECT qp.qid, ca.id, round(list_cosine_similarity(qp.e, ca.e), 6) AS sim
+      |      FROM qp JOIN ca USING (cid)),
+      |r AS (SELECT qid, id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id ASC) AS rank FROM s)
+      |SELECT qid, id, sim, rank::INT AS rank FROM r WHERE rank <= 5""".stripMargin
+
   /** DuckDB bucket expression replicating Similarity.lshSignature: the
     * hyperplanes are deterministic literals, so they are inlined into the
     * SQL from the same constants the Spark expression uses.
@@ -559,6 +588,7 @@ object OpsQueries {
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
+    "ann_ivf_topk" -> (annIvfTopk _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_tokcount" -> (textTokcount _),
@@ -581,6 +611,7 @@ object OpsQueries {
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_cosine_topk" -> annCosineTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
+    "ann_ivf_topk" -> annIvfTopkSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_tokcount" -> textTokcountSql,

@@ -108,6 +108,98 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Deterministic IVF coarse centroids: the corpus vectors whose
+    * md5(id-as-string) sorts smallest — a reproducible uniform sample
+    * (md5 is order-independent of ingestion layout and computable by any
+    * SQL engine, so an external oracle can re-derive the exact cells).
+    * Lloyd refinement would move cell BOUNDARIES but not the operator
+    * shape; a data-independent rule keeps the op byte-reproducible.
+    * Runs one TakeOrderedAndProject job (top-nCells by hash — no global
+    * sort, no window); the result is driver-held and broadcast, exactly
+    * like any IVF implementation ships its centroid table.
+    *
+    * @return (cid 1..nCells, centroid, norm) — tiny (≤ nCells rows)
+    */
+  def ivfCentroids(corpus: DataFrame, nCells: Int): Seq[(Long, Seq[Double], Double)] =
+    corpus
+      .select(col("id"), toDouble(col("embedding")).as("ce"))
+      .withColumn("h", md5(col("id").cast("string").cast("binary")))
+      .orderBy("h", "id").limit(nCells)
+      .select(col("ce"), normCol(col("ce")).as("n"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getSeq[Double](0), r.getDouble(1)) }
+      .toSeq
+
+  /** IVF (inverted-file) approximate top-k: same output shape as
+    * bruteForceTopK. Corpus vectors are assigned to Voronoi cells around
+    * [[ivfCentroids]]; a query scores ONLY the vectors of its `nProbe`
+    * nearest cells. The coarse-quantization scale path: where LSH prunes
+    * by random sign-bits, IVF prunes by data-located cells — recall
+    * concentrates on the nearest cells, and `nProbe` trades compute for
+    * recall.
+    *
+    * Scale shape: assignment is ONE broadcast-nested-loop pass over the
+    * corpus with a map-side partial argmax (shuffle = 1 row per vector —
+    * the ×nCells candidate rows never cross the network); the cell id is
+    * the candidate join key (in a persisted deployment: the partition
+    * key of the stored inverted lists, so probes prune partitions); the
+    * finish is the same bounded-heap merge as every top-k here — ≤ k rows
+    * per (query, partition) shuffle, no windows anywhere.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 256, nProbe: Int = 8,
+              roundTo: Int = 6): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = spark.createDataFrame(
+      ivfCentroids(corpus, nCells).map { case (cid, ce, n) => (cid, ce, n) })
+      .toDF("cid", "cent", "centNorm")
+
+    // argmax cell per vector: struct max orders by (sim, -cid) — ties to
+    // the smaller cid, mirroring the oracle's (sim DESC, cid ASC)
+    def cellSim(ve: Column, vnorm: Column): Column =
+      round(dotCol(ve, col("cent")) / (vnorm * col("centNorm")), roundTo)
+    val assigned = corpus
+      .select(col("id"), toDouble(col("embedding")).as("ce"))
+      .withColumn("cnorm", normCol(col("ce")))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("ce"), col("cnorm"), col("cid"),
+        cellSim(col("ce"), col("cnorm")).as("csim"))
+      .groupBy("id")
+      .agg(
+        max(struct(col("csim"), (-col("cid")).as("ncid"))).as("best"),
+        first(col("ce")).as("ce"), first(col("cnorm")).as("cnorm"))
+      .select(col("id"), col("ce"), col("cnorm"), (-col("best.ncid")).as("cid"))
+
+    // top-nProbe cells per query via the same bounded heap as the finish
+    val probeK = udaf(new TopKAggregator(nProbe), Encoders.product[ScoredDoc])
+    val probes = broadcast(queries
+      .select(col("qid"), toDouble(col("embedding")).as("qe"))
+      .withColumn("qnorm", normCol(col("qe")))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qe"), col("qnorm"), col("cid"),
+        cellSim(col("qe"), col("qnorm")).as("csim"))
+      .groupBy("qid")
+      .agg(probeK(col("cid"), col("csim")).as("cells"),
+        first(col("qe")).as("qe"), first(col("qnorm")).as("qnorm"))
+      .select(col("qid"), col("qe"), col("qnorm"),
+        explode(col("cells.docId")).as("cid")))
+
+    // candidates = vectors in probed cells only; cells are disjoint, so no
+    // candidate dedup is needed (unlike multi-probe LSH)
+    val scored = assigned.join(probes, "cid")
+      .select(col("qid"), col("id"),
+        round(dotCol(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")), roundTo)
+          .as("sim"))
+    val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredDoc])
+    scored
+      .groupBy("qid")
+      .agg(topk(col("id"), col("sim")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), col("hit.docId").as("id"), col("hit.score").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: same output shape as bruteForceTopK.
     * Candidates = corpus vectors sharing the query's bucket (plus buckets
     * at Hamming distance 1 when `probes` > 0), re-ranked exactly.

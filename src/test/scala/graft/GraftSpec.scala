@@ -72,6 +72,26 @@ class GraftSpec extends SparkTestBase {
     assert(ndcg1 == 1.0)
   }
 
+  test("runBeir: scheme-qualified URI dataFolder (Hadoop FS layout detection)") {
+    import spark.implicits._
+    // a file: URI is the local stand-in for hdfs://, s3a://, etc. — layout
+    // detection must go through the Hadoop FileSystem API, not
+    // java.io.File, or every non-bare-path location falls into the
+    // sub-corpus branch and fails its require
+    val folder = tmpDir("beir-uri-folder")
+    Files.writeString(Paths.get(folder, "corpus.jsonl"),
+      """{"_id": "d1", "title": "Graphs", "text": "dijkstra shortest path heap"}""" + "\n")
+    Files.writeString(Paths.get(folder, "queries.jsonl"),
+      """{"_id": "q1", "text": "shortest path"}""" + "\n")
+    Files.createDirectories(Paths.get(folder, "qrels"))
+    Files.writeString(Paths.get(folder, "qrels", "test.tsv"),
+      "query-id\tcorpus-id\tscore\nq1\td1\t1\n")
+    val uri = Paths.get(folder).toUri.toString // file:///...
+    val run = Graft.runBeir(spark, uri, tmpDir("beir-uri-idx"), k = 1,
+      dataset = "uri-ds")
+    assert(run.results.where($"rank" === 1).head().getString(1) == "d1")
+  }
+
   test("runBeir: cqadupstack-style sub-corpus folders merge into one index") {
     import spark.implicits._
     // two BEIR sub-corpora with COLLIDING raw ids (d1, q1 in both) — the

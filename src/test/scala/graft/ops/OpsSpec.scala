@@ -280,6 +280,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean >= 0.7, s"mean lsh recall $mean too low")
   }
 
+  test("ivf top-k: high recall on clustered data, no window, 1 row/vector shuffle") {
+    import spark.implicits._
+    val data = clustered(104, 16)
+    val corpus = data.drop(4).toDF("id", "embedding")
+    val queries = data.take(4).toDF("qid", "embedding")
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // 4 natural clusters; 8 sampled centroids, probe 3 — recall comes from
+    // cells landing ON the data (unlike LSH's data-blind sign bits)
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 10,
+      nCells = 8, nProbe = 3)
+    val approx = ivf.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.keys.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean ivf recall $mean too low")
+    // scale shape: bounded-heap finish, no windows; assignment's argmax is
+    // an aggregate (1 row per vector crosses the shuffle, not ×nCells)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"Window exec in ivfTopK:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"no aggregate finish in ivfTopK:\n$plan")
+  }
+
+  test("ivf centroids are the md5-smallest ids (oracle-reproducible rule)") {
+    import spark.implicits._
+    val data = clustered(40, 8)
+    val corpus = data.toDF("id", "embedding")
+    val cents = Similarity.ivfCentroids(corpus, nCells = 4)
+    assert(cents.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectedIds = data.map(_._1)
+      .sortBy(id => (md5hex(id.toString), id))
+      .take(4)
+    val expectedVecs = expectedIds.map(id =>
+      data.find(_._1 == id).get._2.map(_.toDouble).toSeq)
+    assert(cents.map(_._2.toSeq) == expectedVecs)
+  }
+
   test("lsh top-k finishes with the bounded-heap aggregate, not a window") {
     import spark.implicits._
     val data = clustered(24, 8)
