@@ -67,7 +67,8 @@ object DriverQueries {
     * ScalaTest parity suites.
     */
   def bm25TopkMethod(spark: SparkSession, sfDir: String,
-                     p: graft.score.BM25Params): DataFrame = {
+                     p: graft.score.BM25Params,
+                     docPred: Option[Column] = None): DataFrame = {
     val docs = t(spark, sfDir, "documents")
     // three consumers (tf→df, dl, and the scoring join) would otherwise
     // re-run tokenize per branch; released by the driver's per-query
@@ -99,7 +100,11 @@ object DriverQueries {
       .groupBy("qid", "doc_id")
       .agg(round(sum(col("contrib")), 4).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
-    scored
+    // filtered retrieval (Lucene filter-query semantics): the predicate
+    // restricts CANDIDATE docs at query time while every corpus statistic
+    // (df, avgdl, N) stays global, so surviving docs keep their unfiltered
+    // scores — only the ranking is recomputed over the allowed set
+    docPred.map(scored.where).getOrElse(scored)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= topK)
       .select(col("qid"), col("doc_id"), col("score"), col("rank").cast("int"))
@@ -129,11 +134,11 @@ object DriverQueries {
   def bm25TopkOkapi(spark: SparkSession, sfDir: String): DataFrame =
     bm25TopkMethod(spark, sfDir, graft.score.BM25Params(method = "okapi"))
 
-  /** Reusable CTE chain ending in `ranked`, parameterized by the per-term
-    * contribution expression (shared by the lucene flagship, the robertson
-    * variant, and the eval_metrics oracle in OpsQueries).
+  /** Shared base CTE chain (tokenize → tf/df/dl/stats → tokenized weighted
+    * queries) with no scoring attached — several scored/ranked variants can
+    * hang off one copy of these (the RRF fusion oracle needs two at once).
     */
-  private[entry] def bm25RankedCtesFor(contribSql: String): String = {
+  private[entry] val bm25BaseCtes: String = {
     val valuesSql = bm25Queries.map { case (qid, q) => s"('$qid','$q')" }.mkString(", ")
     s"""$ftokCte,
        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ftok GROUP BY 1,2),
@@ -143,25 +148,48 @@ object DriverQueries {
        |                 (SELECT count(*) FROM ftok)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
        |q(qid, qtext) AS (VALUES $valuesSql),
        |qtok AS (SELECT qid, unnest(regexp_extract_all(lower(qtext), '[a-z0-9_]{2,}')) AS term FROM q),
-       |qtf AS (SELECT qid, term, count(*)::BIGINT AS qtf FROM qtok WHERE term NOT IN $stopSql GROUP BY 1,2),
-       |scored AS (
+       |qtf AS (SELECT qid, term, count(*)::BIGINT AS qtf FROM qtok WHERE term NOT IN $stopSql GROUP BY 1,2)""".stripMargin
+  }
+
+  /** `scored$suffix` + `ranked$suffix` CTEs over the base chain for one
+    * contribution formula; `scoredWhereSql` (candidate-doc predicate)
+    * restricts ranking WITHOUT touching the corpus statistics — the SQL
+    * twin of filtered retrieval's Lucene filter-query semantics.
+    */
+  private[entry] def scoredRankedCtes(suffix: String, contribSql: String,
+                                      scoredWhereSql: String = ""): String = {
+    val where = if (scoredWhereSql.isEmpty) "" else s" WHERE $scoredWhereSql"
+    s"""scored$suffix AS (
        |  SELECT qtf.qid, tf.doc_id, round(sum($contribSql), 4) AS score
        |  FROM qtf
        |  JOIN tf USING (term) JOIN dft USING (term) JOIN dl ON tf.doc_id = dl.doc_id
        |  CROSS JOIN stats
        |  GROUP BY 1,2
        |),
-       |ranked AS (
+       |ranked$suffix AS (
        |  SELECT qid, doc_id, score,
        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
-       |  FROM scored)""".stripMargin
+       |  FROM scored$suffix$where)""".stripMargin
   }
+
+  /** Reusable CTE chain ending in `ranked`, parameterized by the per-term
+    * contribution expression (shared by the lucene flagship, the robertson
+    * variant, and the eval_metrics oracle in OpsQueries).
+    */
+  private[entry] def bm25RankedCtesFor(contribSql: String): String =
+    s"$bm25BaseCtes,\n${scoredRankedCtes("", contribSql)}"
 
   private val bm25NormSql = s"(${1.0 - b} + $b * dl.dl / stats.avgdl)"
 
-  private[entry] val bm25RankedCtes: String = bm25RankedCtesFor(
+  private[entry] val luceneContribSql: String =
     s"""qtf.qtf * ln(1.0 + (stats.n - dft.df + 0.5)/(dft.df + 0.5))
-       |      * tf.tf / (tf.tf + $k1 * $bm25NormSql)""".stripMargin)
+       |      * tf.tf / (tf.tf + $k1 * $bm25NormSql)""".stripMargin
+
+  private[entry] val robertsonContribSql: String =
+    s"""qtf.qtf * ln((stats.n - dft.df + 0.5)/(dft.df + 0.5))
+       |      * tf.tf * ${1.0 + k1} / (tf.tf + $k1 * $bm25NormSql)""".stripMargin
+
+  private[entry] val bm25RankedCtes: String = bm25RankedCtesFor(luceneContribSql)
 
   private[entry] val bm25TopK: Int = topK
 
@@ -170,14 +198,10 @@ object DriverQueries {
        |SELECT qid, doc_id, score, rank::INT AS rank FROM ranked WHERE rank <= $topK
        |""".stripMargin
 
-  val bm25TopkRobertsonSql: String = {
-    val ctes = bm25RankedCtesFor(
-      s"""qtf.qtf * ln((stats.n - dft.df + 0.5)/(dft.df + 0.5))
-         |      * tf.tf * ${1.0 + k1} / (tf.tf + $k1 * $bm25NormSql)""".stripMargin)
-    s"""WITH $ctes
+  val bm25TopkRobertsonSql: String =
+    s"""WITH ${bm25RankedCtesFor(robertsonContribSql)}
        |SELECT qid, doc_id, score, rank::INT AS rank FROM ranked WHERE rank <= $topK
        |""".stripMargin
-  }
 
   /** Variant contribution formulas (§2.6; k1=$k1, b=$b, delta=0.5),
     * mirroring graft.score.BM25's Column builders term for term.
@@ -227,6 +251,45 @@ object DriverQueries {
        |SELECT qid, count(*) OVER (PARTITION BY qid)::BIGINT AS n_hits,
        |  doc_id, score
        |FROM topk""".stripMargin
+
+  /** Filtered retrieval over the composed scorer: candidate docs restricted
+    * to doc_id ≡ 0 (mod 3) at query time, corpus statistics global (Lucene
+    * filter-query semantics — surviving docs keep their unfiltered scores).
+    * The index-backed twin (`bm25_topk_filtered_indexed`, OpsQueries) runs
+    * the same predicate through the WAND/TAAT kernel's broadcast doc set.
+    */
+  def bm25TopkFiltered(spark: SparkSession, sfDir: String): DataFrame =
+    bm25TopkMethod(spark, sfDir, graft.score.BM25Params(),
+      docPred = Some(pmod(col("doc_id"), lit(3)) === 0))
+
+  val bm25TopkFilteredSql: String =
+    s"""WITH $bm25BaseCtes,
+       |${scoredRankedCtes("", luceneContribSql, "doc_id % 3 = 0")}
+       |SELECT qid, doc_id, score, rank::INT AS rank FROM ranked WHERE rank <= $topK
+       |""".stripMargin
+
+  /** Hybrid retrieval: reciprocal-rank fusion of two BM25 runs (lucene +
+    * robertson idf) over the same query set — the rank-only fusion shape
+    * used to combine retrievers with incomparable score scales.
+    */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Fusion.rrf(
+      Seq(bm25TopkComposed(spark, sfDir), bm25TopkRobertson(spark, sfDir)),
+      k = topK, c = 60)
+
+  val hybridRrfSql: String =
+    s"""WITH $bm25BaseCtes,
+       |${scoredRankedCtes("", luceneContribSql)},
+       |${scoredRankedCtes("2", robertsonContribSql)},
+       |u AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= $topK
+       |      UNION ALL SELECT qid, doc_id, rank FROM ranked2 WHERE rank <= $topK),
+       |f AS (SELECT qid, doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf
+       |      FROM u GROUP BY 1, 2),
+       |rr AS (SELECT qid, doc_id, rrf,
+       |         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS rank
+       |       FROM f)
+       |SELECT qid, doc_id, rrf, rank::INT AS rank FROM rr WHERE rank <= $topK
+       |""".stripMargin
 
   // ---- tokenization stats ----------------------------------------------
 
@@ -379,6 +442,8 @@ object DriverQueries {
     "bm25_topk_bm25plus" -> (bm25TopkBm25plus _),
     "bm25_topk_okapi" -> (bm25TopkOkapi _),
     "bm25_hits_map" -> (bm25HitsMap _),
+    "bm25_topk_filtered" -> (bm25TopkFiltered _),
+    "hybrid_rrf" -> (hybridRrf _),
     "tok_doclen" -> (tokDoclen _),
     "term_df" -> (termDf _),
     "corpus_stats" -> (corpusStats _),
@@ -396,6 +461,8 @@ object DriverQueries {
     "bm25_topk_bm25plus" -> bm25TopkBm25plusSql,
     "bm25_topk_okapi" -> bm25TopkOkapiSql,
     "bm25_hits_map" -> bm25HitsMapSql,
+    "bm25_topk_filtered" -> bm25TopkFilteredSql,
+    "hybrid_rrf" -> hybridRrfSql,
     "tok_doclen" -> tokDoclenSql,
     "term_df" -> termDfSql,
     "corpus_stats" -> corpusStatsSql,

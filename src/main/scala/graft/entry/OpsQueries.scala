@@ -528,8 +528,8 @@ object OpsQueries {
     */
   private val indexedRawK = 50
 
-  def bm25TopkIndexed(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = indexedDirCache.getOrElseUpdate(sfDir, {
+  private def indexedDir(spark: SparkSession, sfDir: String): String =
+    indexedDirCache.getOrElseUpdate(sfDir, {
       val d = java.nio.file.Files.createTempDirectory("graft-idx-docs").toString
       val corpus = docs(spark, sfDir)
         .select(col("doc_id").cast("string").as("docId"), col("text").as("content"))
@@ -539,14 +539,13 @@ object OpsQueries {
           numSegmentGroups = 2, numBuckets = 8))
       d
     })
-    val idx = new graft.query.BM25Index(spark, dir)
-    import spark.implicits._
-    val q = DriverQueries.bm25Queries.toDF("qid", "query")
-    // engine returns raw double scores ranked with a surrogate-id
-    // tie-break; re-rank the bounded buffer on the ROUNDED score with the
-    // oracle's (score DESC, doc_id ASC) tie-break (driver convention:
-    // ranks computed on rounded scores on both sides)
-    val raw = graft.query.QueryEngine.searchWand(idx, q, indexedRawK)
+
+  /** Engine results carry raw double scores ranked with a surrogate-id
+    * tie-break; re-rank the bounded raw-k buffer on the ROUNDED score with
+    * the oracle's (score DESC, doc_id ASC) tie-break (driver convention:
+    * ranks computed on rounded scores on both sides).
+    */
+  private def rerankRounded(raw: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
     raw.select(col("qid"), col("docId").cast("long").as("doc_id"),
@@ -557,6 +556,28 @@ object OpsQueries {
         col("rank").cast("int").as("rank"))
   }
 
+  def bm25TopkIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = new graft.query.BM25Index(spark, indexedDir(spark, sfDir))
+    import spark.implicits._
+    val q = DriverQueries.bm25Queries.toDF("qid", "query")
+    rerankRounded(graft.query.QueryEngine.searchWand(idx, q, indexedRawK))
+  }
+
+  /** Filtered retrieval through the INDEX-BACKED engine: the doc_id ≡ 0
+    * (mod 3) predicate resolves against the docs dimension and rides into
+    * the WAND/TAAT kernels as a broadcast sorted allowed set — same
+    * semantics as the composed `bm25_topk_filtered` (global stats,
+    * restricted candidates), here oracle-checked against the float32-
+    * quantized scoring chain end to end.
+    */
+  def bm25TopkFilteredIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = new graft.query.BM25Index(spark, indexedDir(spark, sfDir))
+    import spark.implicits._
+    val q = DriverQueries.bm25Queries.toDF("qid", "query")
+    rerankRounded(graft.query.QueryEngine.searchWand(idx, q, indexedRawK,
+      docFilter = Some(pmod(col("docId").cast("long"), lit(3)) === 0)))
+  }
+
   /** DuckDB twin of the indexed engine: identical CTE chain to the
     * composed-BM25 oracle, with each per-posting impact passed through
     * REAL — the float32 quantization the index payload applies
@@ -564,18 +585,28 @@ object OpsQueries {
     * sum stay double on both sides, so order drift is ~1e-16 and the 4-dp
     * round is stable.
     */
-  val bm25TopkIndexedSql: String = {
-    // parenthesized to BM25.Scalar.impact's exact double association
-    // (idf * (tf / (tf + k1*norm))) — the float32 cast right after makes
-    // association-order ulp drift the one thing worth eliminating
-    val ctes = DriverQueries.bm25RankedCtesFor(
-      """qtf.qtf * CAST(CAST(ln(1.0 + (stats.n - dft.df + 0.5)/(dft.df + 0.5))
-        |      * (tf.tf / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS REAL) AS DOUBLE)""".stripMargin)
-    s"""WITH $ctes
+  // parenthesized to BM25.Scalar.impact's exact double association
+  // (idf * (tf / (tf + k1*norm))) — the float32 cast right after makes
+  // association-order ulp drift the one thing worth eliminating
+  private val quantContribSql: String =
+    """qtf.qtf * CAST(CAST(ln(1.0 + (stats.n - dft.df + 0.5)/(dft.df + 0.5))
+      |      * (tf.tf / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS REAL) AS DOUBLE)""".stripMargin
+
+  val bm25TopkIndexedSql: String =
+    s"""WITH ${DriverQueries.bm25RankedCtesFor(quantContribSql)}
        |SELECT qid, doc_id, score, rank::INT AS rank FROM ranked
        |WHERE rank <= ${DriverQueries.bm25TopK}
        |""".stripMargin
-  }
+
+  /** Same float32-quantized chain, ranked over the filtered candidate set
+    * (stats global — the filter touches only the ranking input).
+    */
+  val bm25TopkFilteredIndexedSql: String =
+    s"""WITH ${DriverQueries.bm25BaseCtes},
+       |${DriverQueries.scoredRankedCtes("", quantContribSql, "doc_id % 3 = 0")}
+       |SELECT qid, doc_id, score, rank::INT AS rank FROM ranked
+       |WHERE rank <= ${DriverQueries.bm25TopK}
+       |""".stripMargin
 
   // ---- registry -----------------------------------------------------------
 
@@ -602,7 +633,8 @@ object OpsQueries {
     "beir_corpus_jsonl" -> (beirCorpusJsonl _),
     "beir_qrels_join" -> (beirQrelsJoin _),
     "eval_metrics" -> (evalMetrics _),
-    "bm25_topk_indexed" -> (bm25TopkIndexed _))
+    "bm25_topk_indexed" -> (bm25TopkIndexed _),
+    "bm25_topk_filtered_indexed" -> (bm25TopkFilteredIndexed _))
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -624,5 +656,6 @@ object OpsQueries {
     "beir_corpus_jsonl" -> beirCorpusJsonlSql,
     "beir_qrels_join" -> beirQrelsJoinSql,
     "eval_metrics" -> evalMetricsSql,
-    "bm25_topk_indexed" -> bm25TopkIndexedSql)
+    "bm25_topk_indexed" -> bm25TopkIndexedSql,
+    "bm25_topk_filtered_indexed" -> bm25TopkFilteredIndexedSql)
 }

@@ -109,6 +109,34 @@ object QueryEngine {
     }
   }
 
+  /** Max allowed-doc rows a query-time doc filter may collect and broadcast
+    * into the WAND/TAAT kernels (sorted long array; 2M docs ≈ 16 MiB).
+    * Filters selecting more docs than this fall back to the declarative
+    * semi-join scoring path — still exact, fully distributed, no driver
+    * materialization of the allowed set.
+    */
+  def filterMaxBroadcastDocs(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.filterMaxBroadcastDocs")
+      .map(_.toInt).getOrElse(1 << 21)
+
+  /** The allowed docIntId set for a query-time doc filter, as a sorted
+    * array IF it fits `filterMaxBroadcastDocs` (one bounded limit-collect
+    * job against the cached docs dimension), else None — callers then use
+    * a distributed semi-join instead of a kernel-side membership test.
+    */
+  private[graft] def collectAllowed(index: BM25Index,
+                                    docFilter: Column): Option[Array[Long]] = {
+    val bound = filterMaxBroadcastDocs(index.spark)
+    val rows = index.docs.where(docFilter).select(col("docIntId"))
+      .limit(bound + 1).collect()
+    if (rows.length > bound) None
+    else {
+      val arr = rows.map(_.getLong(0))
+      java.util.Arrays.sort(arr)
+      Some(arr)
+    }
+  }
+
   /** Max hit rows (nQueries × k) the finish join may broadcast; above this
     * it becomes a shuffled hash join (hits as build side — docs is never
     * sorted or broadcast). 10k queries × k=1000 would otherwise push a
@@ -176,7 +204,8 @@ object QueryEngine {
     * queries pay #postings × #sharing-queries — use searchWand for
     * throughput work.
     */
-  def searchExact(index: BM25Index, queries: DataFrame, k: Int): DataFrame = {
+  def searchExact(index: BM25Index, queries: DataFrame, k: Int,
+                  docFilter: Option[Column] = None): DataFrame = {
     if (index.numDocs == 0) return emptyResult(index.spark)
     val qt = queryTerms(index, queries)
     // ONE job collects the distinct term set AND the distinct-qid count
@@ -199,7 +228,26 @@ object QueryEngine {
         posexplode(col("ids")).as(Seq("pos", "docIntId")))
       .select(col("qid"), col("docIntId"),
         (element_at(col("imps"), col("pos") + 1) * col("qtf")).as("contrib"))
-    val scored = cand.groupBy("qid", "docIntId")
+    // filtered retrieval (Lucene filter semantics: stats stay global): the
+    // allowed set semi-joins the candidate stream BEFORE aggregation and
+    // top-k — broadcast when it fits the bound, shuffled hash otherwise
+    // (the scale path for low-selectivity filters; never a driver set)
+    val flt = docFilter match {
+      case None => cand
+      case Some(f) =>
+        val spark = index.spark
+        collectAllowed(index, f) match {
+          case Some(arr) =>
+            import spark.implicits._
+            cand.join(broadcast(arr.toSeq.toDF("docIntId")),
+              Seq("docIntId"), "left_semi")
+          case None =>
+            cand.join(
+              index.docs.where(f).select("docIntId").hint("shuffle_hash"),
+              Seq("docIntId"), "left_semi")
+        }
+    }
+    val scored = flt.groupBy("qid", "docIntId")
       .agg(sum("contrib").as("score"))
     finishTopK(index, scored, k, nQueries * k)
   }
@@ -274,11 +322,26 @@ object QueryEngine {
     * count() job exists; only over-chunk batches fall back to a counted
     * distributed streaming pass.
     */
-  def searchWand(index: BM25Index, queries: DataFrame, k: Int): DataFrame = {
+  def searchWand(index: BM25Index, queries: DataFrame, k: Int,
+                 docFilter: Option[Column] = None): DataFrame = {
     val spark = index.spark
     // empty index: its postings table has no partitions, so the candidate
     // scan's bucket/term columns would not even resolve
     if (index.numDocs == 0) return emptyResult(spark)
+    // Filtered retrieval: the allowed docIntId set rides into the kernels
+    // as one broadcast sorted array; membership is checked at heap/accum
+    // insertion, so WAND's threshold pruning stays exact (upper bounds are
+    // unchanged; the threshold only ever reflects allowed docs). A filter
+    // too large for the broadcast bound falls back to the declarative
+    // semi-join path — exact and distributed at any selectivity.
+    val allowedBc = docFilter match {
+      case None => None
+      case Some(f) => collectAllowed(index, f) match {
+        case Some(arr) if arr.isEmpty => return emptyResult(spark)
+        case Some(arr) => Some(spark.sparkContext.broadcast(arr))
+        case None => return searchExact(index, queries, k, docFilter)
+      }
+    }
     val chunkRows = wandQueryChunkRows(spark)
     val head = queries.select(col("qid"), col("query")).limit(chunkRows + 1).collect()
     if (head.isEmpty) return emptyResult(spark)
@@ -299,7 +362,7 @@ object QueryEngine {
         .filter(_._2.nonEmpty) // all-stopword/empty queries produce no rows
         .toArray
       if (qArr.isEmpty) return emptyResult(spark)
-      val (partials, _) = wandPartialsWithHandle(index, qArr, k)
+      val (partials, _) = wandPartialsWithHandle(index, qArr, k, allowedBc)
       return finishTopKIdx(index, partials, k, qArr.map(_._1))
     }
     val grouped = groupedQueryTerms(index, queries)
@@ -318,12 +381,14 @@ object QueryEngine {
     graft.util.TempFs.registerForCleanup(spark, tmp) // removed at JVM exit
     val chunkDirs = scala.collection.mutable.ArrayBuffer.empty[String]
     queryChunks(index, queries, nQueries).filter(_.nonEmpty).foreach { qArr =>
-      val (partials, bq) = wandPartialsWithHandle(index, qArr, k)
+      val (partials, bq) = wandPartialsWithHandle(index, qArr, k, allowedBc)
       val dir = s"$tmp/chunk-${chunkDirs.size}"
       finishTopKIdx(index, partials, k, qArr.map(_._1)).write.parquet(dir)
       bq.destroy()
       chunkDirs += dir
     }
+    // every chunk's job has run; the allowed-set broadcast is done with
+    allowedBc.foreach(_.destroy())
     if (chunkDirs.isEmpty) return emptyResult(spark)
     spark.read.parquet(chunkDirs.toSeq: _*)
   }
@@ -334,14 +399,17 @@ object QueryEngine {
   private[graft] def wandPartials(index: BM25Index,
                            qArr: Array[(String, Array[(String, Double)])],
                            k: Int): DataFrame =
-    wandPartialsWithHandle(index, qArr, k)._1
+    wandPartialsWithHandle(index, qArr, k, None)._1
 
   /** As wandPartials, but also returns the chunk's query-array broadcast so
     * the chunked large-batch path can destroy it between chunk jobs.
+    * `allowedBc`: optional broadcast sorted allowed-docIntId array (query-
+    * time doc filter) checked at kernel insertion.
     */
   private def wandPartialsWithHandle(index: BM25Index,
                            qArr: Array[(String, Array[(String, Double)])],
-                           k: Int): (DataFrame,
+                           k: Int,
+                           allowedBc: Option[org.apache.spark.broadcast.Broadcast[Array[Long]]]): (DataFrame,
                              org.apache.spark.broadcast.Broadcast[Array[(String, Array[(String, Double)])]]) = {
     val spark = index.spark
     val terms = qArr.flatMap(_._2.map(_._1)).distinct.toSeq
@@ -419,6 +487,7 @@ object QueryEngine {
       // rows arrive sorted by (salt, qgrp): buffer exactly one run at a time
       // — the same working set the WAND cursors need anyway.
       // TAAT accumulator buffers are reused across every group of the task.
+      val allowed: Array[Long] = allowedBc.map(_.value).orNull
       lazy val taat = new Wand.SaltTaat(shift)
       val agg = new TopKAggregator(kk)
       // array-indexed per-query heaps (no hashing): a task only ever
@@ -462,8 +531,8 @@ object QueryEngine {
           var h = heaps(qidx)
           if (h == null) { h = agg.zero; heaps(qidx) = h }
           val before = h.size
-          if (useTaat) taat.topkInto(qterms, byTerm, salt, agg, h)
-          else Wand.topkInto(qterms, byTerm, agg, h)
+          if (useTaat) taat.topkInto(qterms, byTerm, salt, agg, h, allowed)
+          else Wand.topkInto(qterms, byTerm, agg, h, allowed)
           heapRows += h.size - before
           qidx += G
         }
@@ -660,10 +729,16 @@ object Wand {
     * arrive pre-loaded from the task's earlier salts: its root then prunes
     * ACROSS salts (a doc worse than the global k-th so far can never reach
     * the final top-k — exactness unchanged, strictly more skipping).
+    *
+    * `allowed` (nullable): sorted docIntId array of a query-time doc
+    * filter. Disallowed pivots skip full evaluation AND insertion; cursor
+    * upper bounds are unchanged and the threshold only ever reflects
+    * allowed docs, so pruning remains exact over the allowed subset.
     */
   def topkInto(qterms: Array[(String, Double)],
                byTerm: Map[String, SharedRun],
-               agg: TopKAggregator, heap: TopKBuf): Unit = {
+               agg: TopKAggregator, heap: TopKBuf,
+               allowed: Array[Long] = null): Unit = {
     val cs: Array[Cursor] = qterms.flatMap { case (t, qtf) =>
       byTerm.get(t).map(run => new Cursor(qtf, run))
     }
@@ -703,12 +778,14 @@ object Wand {
 
       if (cs(0).curDoc == pivotDoc) {
         // all cursors 0..found sit on pivotDoc: block-max refinement, then
-        // full evaluation
+        // full evaluation (skipped outright for filtered-out docs)
         var blockUb = 0.0
         var i = 0
         while (i < live && cs(i).curDoc == pivotDoc) { blockUb += cs(i).curBlockUb; i += 1 }
         val onPivot = i
-        if (blockUb > threshold) {
+        if (blockUb > threshold &&
+            (allowed == null ||
+              java.util.Arrays.binarySearch(allowed, pivotDoc) >= 0)) {
           var score = 0.0
           i = 0
           while (i < onPivot) { score += cs(i).curContrib; i += 1 }
@@ -756,7 +833,8 @@ object Wand {
       */
     def topkInto(qterms: Array[(String, Double)],
                  byTerm: Map[String, SharedRun], salt: Int,
-                 agg: TopKAggregator, heap: TopKBuf): Unit = {
+                 agg: TopKAggregator, heap: TopKBuf,
+                 allowed: Array[Long] = null): Unit = {
       cur += 1
       var nTouched = 0
       var ti = 0
@@ -784,11 +862,16 @@ object Wand {
         ti += 1
       }
       if (nTouched == 0) return
+      // doc-filter membership is tested per TOUCHED doc (not per posting):
+      // accumulation for disallowed docs is wasted FMAs, but the test in
+      // the posting loop would cost more than it saves
       val saltBase = salt.toLong << saltShift
       var i = 0
       while (i < nTouched) {
         val off = touched(i)
-        agg.insert(heap, saltBase | off, acc(off))
+        val doc = saltBase | off
+        if (allowed == null || java.util.Arrays.binarySearch(allowed, doc) >= 0)
+          agg.insert(heap, doc, acc(off))
         i += 1
       }
     }
