@@ -49,12 +49,17 @@ object Graft {
     new BM25Index(spark, indexDir)
 
   /** Batch top-k retrieval; `exact = true` selects the declarative
-    * cross-check path instead of the WAND/TAAT engine.
+    * cross-check path instead of the WAND/TAAT engine. `docFilter` (a
+    * predicate over the index's docs dimension — docId, len) restricts
+    * CANDIDATE docs at query time with corpus statistics unchanged
+    * (Lucene filter-query semantics); see QueryEngine for the broadcast
+    * set vs semi-join strategy split.
     */
   def search(index: BM25Index, queries: DataFrame, k: Int = 1000,
-             exact: Boolean = false): DataFrame =
-    if (exact) QueryEngine.searchExact(index, queries, k)
-    else QueryEngine.searchWand(index, queries, k)
+             exact: Boolean = false,
+             docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    if (exact) QueryEngine.searchExact(index, queries, k, docFilter)
+    else QueryEngine.searchWand(index, queries, k, docFilter)
 
   def evaluate(results: DataFrame, qrels: DataFrame,
                cutoffs: Seq[Int] = eval.TrecEval.DefaultCutoffs): DataFrame =

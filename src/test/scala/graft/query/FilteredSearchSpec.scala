@@ -103,6 +103,18 @@ class FilteredSearchSpec extends SparkTestBase {
     finally spark.conf.unset("spark.graft.filterMaxBroadcastDocs")
   }
 
+  test("Graft.search forwards the doc filter on both paths") {
+    val idx = new BM25Index(spark, indexDir)
+    val truth = derivedTruth(idx, allowedSet(idx))
+    checkEqual(
+      collectResults(graft.Graft.search(idx, queriesDf, k, docFilter = Some(pred))),
+      truth)
+    checkEqual(
+      collectResults(graft.Graft.search(idx, queriesDf, k, exact = true,
+        docFilter = Some(pred))),
+      truth)
+  }
+
   test("filter selecting no docs returns an empty result with the contract schema") {
     val idx = new BM25Index(spark, indexDir)
     val res = QueryEngine.searchWand(idx, queriesDf, k, Some(lit(false)))
