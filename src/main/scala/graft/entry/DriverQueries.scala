@@ -291,6 +291,42 @@ object DriverQueries {
        |SELECT qid, doc_id, rrf, rank::INT AS rank FROM rr WHERE rank <= $topK
        |""".stripMargin
 
+  /** CombMNZ fusion of the same two runs as `hybrid_rrf` — score-based
+    * fusion (Fox & Shaw, TREC-2): per-run min-max normalization within each
+    * query, then |runs retrieving d| × Σ normalized-score. Exercises the
+    * score-magnitude fusion path the rank-only RRF cannot.
+    */
+  def hybridCombmnz(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Fusion.combSum(
+      Seq(bm25TopkComposed(spark, sfDir), bm25TopkRobertson(spark, sfDir)),
+      k = topK, mnz = true)
+
+  /** Min-max-normalize `score` within each qid of `src` (all-equal → 1.0),
+    * the SQL twin of Fusion.combSum's per-run normalization.
+    */
+  private def normCte(name: String, src: String): String =
+    s"""$name AS (SELECT qid, doc_id,
+       |    CASE WHEN max(score) OVER w = min(score) OVER w THEN 1.0
+       |         ELSE (score - min(score) OVER w)
+       |              / (max(score) OVER w - min(score) OVER w) END AS nscore
+       |  FROM $src WINDOW w AS (PARTITION BY qid))""".stripMargin
+
+  val hybridCombmnzSql: String =
+    s"""WITH $bm25BaseCtes,
+       |${scoredRankedCtes("", luceneContribSql)},
+       |${scoredRankedCtes("2", robertsonContribSql)},
+       |t1 AS (SELECT qid, doc_id, score FROM ranked WHERE rank <= $topK),
+       |t2 AS (SELECT qid, doc_id, score FROM ranked2 WHERE rank <= $topK),
+       |${normCte("n1", "t1")},
+       |${normCte("n2", "t2")},
+       |f AS (SELECT qid, doc_id, round(count(*)::DOUBLE * sum(nscore), 6) AS fused
+       |      FROM (SELECT * FROM n1 UNION ALL SELECT * FROM n2) GROUP BY 1, 2),
+       |rr AS (SELECT qid, doc_id, fused,
+       |         row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id ASC) AS rank
+       |       FROM f)
+       |SELECT qid, doc_id, fused, rank::INT AS rank FROM rr WHERE rank <= $topK
+       |""".stripMargin
+
   // ---- tokenization stats ----------------------------------------------
 
   def tokDoclen(spark: SparkSession, sfDir: String): DataFrame =
@@ -444,6 +480,7 @@ object DriverQueries {
     "bm25_hits_map" -> (bm25HitsMap _),
     "bm25_topk_filtered" -> (bm25TopkFiltered _),
     "hybrid_rrf" -> (hybridRrf _),
+    "hybrid_combmnz" -> (hybridCombmnz _),
     "tok_doclen" -> (tokDoclen _),
     "term_df" -> (termDf _),
     "corpus_stats" -> (corpusStats _),
@@ -463,6 +500,7 @@ object DriverQueries {
     "bm25_hits_map" -> bm25HitsMapSql,
     "bm25_topk_filtered" -> bm25TopkFilteredSql,
     "hybrid_rrf" -> hybridRrfSql,
+    "hybrid_combmnz" -> hybridCombmnzSql,
     "tok_doclen" -> tokDoclenSql,
     "term_df" -> termDfSql,
     "corpus_stats" -> corpusStatsSql,

@@ -41,4 +41,44 @@ object Fusion {
       .where(col("rank") <= k)
       .select(col("qid"), col(docCol), col("rrf"), col("rank").cast("int").as("rank"))
   }
+
+  /** Score-based fusion (Fox & Shaw, TREC-2 1994): per run, min-max
+    * normalize scores within each query to [0,1] (a run whose top-k scores
+    * are all equal maps to 1.0), then combine per (qid, doc):
+    * CombSUM = Σ nscore; CombMNZ = |runs retrieving d| × Σ nscore.
+    * Unlike [[rrf]] this uses the score magnitudes, so a run's confidence
+    * gap between rank 1 and rank 2 survives fusion.
+    *
+    * Per-run extrema come from a groupBy(qid) hash agg joined back on qid —
+    * runs are top-k bounded (≤ k rows per qid per run) and the extrema
+    * table is one row per qid, so both the normalize join and the fusion
+    * agg shuffle only rank-bounded data at any corpus scale. Same output
+    * conventions as [[rrf]]: round to `roundTo` dp, rank on the rounded
+    * value, (fused DESC, doc ASC) tie-break, top `k` per qid.
+    */
+  def combSum(runs: Seq[DataFrame], k: Int, mnz: Boolean = false,
+              scoreCol: String = "score", docCol: String = "doc_id",
+              roundTo: Int = 6): DataFrame = {
+    require(runs.nonEmpty, "combSum needs at least one run")
+    require(k > 0)
+    val normed = runs.map { r =>
+      val slim = r.select(col("qid"), col(docCol),
+        col(scoreCol).cast("double").as("s"))
+      val ext = slim.groupBy("qid").agg(min("s").as("lo"), max("s").as("hi"))
+      slim.join(ext, "qid")
+        .select(col("qid"), col(docCol),
+          when(col("hi") === col("lo"), lit(1.0))
+            .otherwise((col("s") - col("lo")) / (col("hi") - col("lo")))
+            .as("nscore"))
+    }
+    val weight = if (mnz) count(lit(1)).cast("double") else lit(1.0)
+    val fused = normed.reduce(_ unionAll _)
+      .groupBy("qid", docCol)
+      .agg(round(weight * sum(col("nscore")), roundTo).as("fused"))
+    val w = Window.partitionBy("qid").orderBy(col("fused").desc, col(docCol).asc)
+    fused
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col(docCol), col("fused"), col("rank").cast("int").as("rank"))
+  }
 }
