@@ -181,9 +181,15 @@ object DriverQueries {
 
   private val bm25NormSql = s"(${1.0 - b} + $b * dl.dl / stats.avgdl)"
 
-  private[entry] val luceneContribSql: String =
-    s"""qtf.qtf * ln(1.0 + (stats.n - dft.df + 0.5)/(dft.df + 0.5))
+  /** Lucene contribution with a pluggable weight factor (qtf for text
+    * queries, the interpolated RM3 weight for the expanded pass) — same
+    * association order either way, so the proven 4-dp stability carries.
+    */
+  private[entry] def luceneContribSqlW(weightRef: String): String =
+    s"""$weightRef * ln(1.0 + (stats.n - dft.df + 0.5)/(dft.df + 0.5))
        |      * tf.tf / (tf.tf + $k1 * $bm25NormSql)""".stripMargin
+
+  private[entry] val luceneContribSql: String = luceneContribSqlW("qtf.qtf")
 
   private[entry] val robertsonContribSql: String =
     s"""qtf.qtf * ln((stats.n - dft.df + 0.5)/(dft.df + 0.5))
@@ -325,6 +331,96 @@ object DriverQueries {
        |         row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id ASC) AS rank
        |       FROM f)
        |SELECT qid, doc_id, fused, rank::INT AS rank FROM rr WHERE rank <= $topK
+       |""".stripMargin
+
+  /** RM3 pseudo-relevance feedback (Lavrenko & Croft SIGIR'01; Anserini's
+    * BM25+RM3 defaults fbDocs=fbTerms=10, α=0.5) over the composed scorer:
+    * pass 1 = the flagship lucene ranking; relevance model from its top-10
+    * docs; interpolated weighted query; pass 2 re-scores with weight×impact.
+    * Determinism: rm1 and the interpolated weights are rounded (6 dp) before
+    * rank-sensitive selection on BOTH sides, per the repo convention; the
+    * engine-kernel twin (QueryEngine.searchWandWeighted + Rm3.searchIndexed)
+    * is ScalaTest-checked against this math in Rm3Spec.
+    */
+  private val rm3FbDocs = topK // feedback set = the flagship top-k
+  private val rm3FbTerms = 10
+  private val rm3Alpha = 0.5
+
+  def bm25TopkRm3(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val ftok = docs.select(col("doc_id"),
+      explode(asciiTokens(col("text"))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = ftok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = ftok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val statsRow = docs
+      .select(col("doc_id"), size(asciiTokens(col("text"))).cast("long").as("n_tok"))
+      .agg(count(lit(1)), sum(col("n_tok"))).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+
+    import spark.implicits._
+    val q = bm25Queries.toDF("qid", "qtext")
+    val qtf = q.select(col("qid"), explode(asciiTokens(col("qtext"))).as("term"))
+      .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+
+    val impact = graft.score.BM25.impact(graft.score.BM25Params(),
+      col("tf"), col("df"), col("dl"), lit(nDocs.toDouble), lit(avgdl))
+    def pass(weights: DataFrame): DataFrame =
+      weights.join(tf, "term").join(dft, "term").join(dl, "doc_id")
+        .select(col("qid"), col("doc_id"), (col("qtf") * impact).as("contrib"))
+        .groupBy("qid", "doc_id")
+        .agg(round(sum(col("contrib")), 4).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    // pass 1 is math-identical to bm25_topk; persisted because the
+    // relevance model scans it twice (Σscore and the per-term join)
+    val fb = pass(qtf)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= rm3FbDocs)
+      .select("qid", "doc_id", "score")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val weights = graft.query.Rm3.expandWeights(fb, tf, dl, qtf,
+      rm3FbTerms, rm3Alpha, rm1Scale = 6, weightScale = 6)
+    pass(weights)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("doc_id"), col("score"), col("rank").cast("int"))
+  }
+
+  val bm25TopkRm3Sql: String =
+    s"""WITH $bm25RankedCtes,
+       |fb AS (SELECT qid, doc_id, score FROM ranked WHERE rank <= $rm3FbDocs),
+       |ssum AS (SELECT qid, sum(score) AS ssum FROM fb GROUP BY 1),
+       |pwd AS (SELECT tf.doc_id, tf.term, tf.tf::DOUBLE / dl.dl::DOUBLE AS pwd
+       |        FROM tf JOIN dl ON tf.doc_id = dl.doc_id),
+       |rm1 AS (SELECT fb.qid, pwd.term,
+       |          round(sum(pwd.pwd * fb.score / ssum.ssum), 6) AS rm1
+       |        FROM fb JOIN ssum USING (qid) JOIN pwd ON fb.doc_id = pwd.doc_id
+       |        GROUP BY 1, 2),
+       |fbt AS (SELECT qid, term, rm1 FROM (
+       |          SELECT qid, term, rm1,
+       |            row_number() OVER (PARTITION BY qid ORDER BY rm1 DESC, term ASC) AS rn
+       |          FROM rm1) WHERE rn <= $rm3FbTerms),
+       |qsum AS (SELECT qid, sum(qtf)::DOUBLE AS qsum FROM qtf GROUP BY 1),
+       |qm AS (SELECT qtf.qid, qtf.term, qtf.qtf::DOUBLE / qsum.qsum AS qm
+       |       FROM qtf JOIN qsum USING (qid)),
+       |wts AS (SELECT coalesce(qm.qid, fbt.qid) AS qid,
+       |          coalesce(qm.term, fbt.term) AS term,
+       |          round($rm3Alpha * coalesce(qm.qm, 0.0)
+       |                + ${1.0 - rm3Alpha} * coalesce(fbt.rm1, 0.0), 6) AS qtf
+       |        FROM qm FULL JOIN fbt ON qm.qid = fbt.qid AND qm.term = fbt.term),
+       |wtsnz AS (SELECT * FROM wts WHERE qtf <> 0),
+       |scored3 AS (
+       |  SELECT wts.qid, tf.doc_id, round(sum(${luceneContribSqlW("wts.qtf")}), 4) AS score
+       |  FROM wtsnz wts
+       |  JOIN tf USING (term) JOIN dft USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1,2
+       |),
+       |rr AS (SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+       |       FROM scored3)
+       |SELECT qid, doc_id, score, rank::INT AS rank FROM rr WHERE rank <= $topK
        |""".stripMargin
 
   // ---- tokenization stats ----------------------------------------------
@@ -481,6 +577,7 @@ object DriverQueries {
     "bm25_topk_filtered" -> (bm25TopkFiltered _),
     "hybrid_rrf" -> (hybridRrf _),
     "hybrid_combmnz" -> (hybridCombmnz _),
+    "bm25_rm3" -> (bm25TopkRm3 _),
     "tok_doclen" -> (tokDoclen _),
     "term_df" -> (termDf _),
     "corpus_stats" -> (corpusStats _),
@@ -501,6 +598,7 @@ object DriverQueries {
     "bm25_topk_filtered" -> bm25TopkFilteredSql,
     "hybrid_rrf" -> hybridRrfSql,
     "hybrid_combmnz" -> hybridCombmnzSql,
+    "bm25_rm3" -> bm25TopkRm3Sql,
     "tok_doclen" -> tokDoclenSql,
     "term_df" -> termDfSql,
     "corpus_stats" -> corpusStatsSql,

@@ -127,8 +127,10 @@ object QueryEngine {
   private[graft] def collectAllowed(index: BM25Index,
                                     docFilter: Column): Option[Array[Long]] = {
     val bound = filterMaxBroadcastDocs(index.spark)
+    // bound + 1 would wrap negative at Int.MaxValue ("no cap" config)
+    val lim = math.min(bound.toLong + 1L, Int.MaxValue.toLong).toInt
     val rows = index.docs.where(docFilter).select(col("docIntId"))
-      .limit(bound + 1).collect()
+      .limit(lim).collect()
     if (rows.length > bound) None
     else {
       val arr = rows.map(_.getLong(0))
@@ -205,7 +207,17 @@ object QueryEngine {
     * throughput work.
     */
   def searchExact(index: BM25Index, queries: DataFrame, k: Int,
-                  docFilter: Option[Column] = None): DataFrame = {
+                  docFilter: Option[Column] = None): DataFrame =
+    searchExactImpl(index, queries, k, docFilter, tryBroadcastFilter = true)
+
+  /** `tryBroadcastFilter = false` is the over-bound fallback from
+    * `searchWand`: its `collectAllowed` already proved the filter exceeds
+    * the broadcast bound, so re-running the bounded limit-collect here
+    * would repeat a multi-million-row driver job just to rediscover None.
+    */
+  private def searchExactImpl(index: BM25Index, queries: DataFrame, k: Int,
+                              docFilter: Option[Column],
+                              tryBroadcastFilter: Boolean): DataFrame = {
     if (index.numDocs == 0) return emptyResult(index.spark)
     val qt = queryTerms(index, queries)
     // ONE job collects the distinct term set AND the distinct-qid count
@@ -236,7 +248,8 @@ object QueryEngine {
       case None => cand
       case Some(f) =>
         val spark = index.spark
-        collectAllowed(index, f) match {
+        val allowed = if (tryBroadcastFilter) collectAllowed(index, f) else None
+        allowed match {
           case Some(arr) =>
             import spark.implicits._
             cand.join(broadcast(arr.toSeq.toDF("docIntId")),
@@ -303,8 +316,14 @@ object QueryEngine {
     * chunk target first; driver memory stays bounded by one chunk.
     */
   private[graft] def queryChunks(index: BM25Index, queries: DataFrame,
-                                 nQueries: Long): Iterator[Array[(String, Array[(String, Double)])]] = {
-    val grouped = groupedQueryTerms(index, queries)
+                                 nQueries: Long): Iterator[Array[(String, Array[(String, Double)])]] =
+    groupedChunks(index, groupedQueryTerms(index, queries), nQueries)
+
+  /** As queryChunks, over an already-grouped (qid, ts[(term, weight)])
+    * frame — shared by the tokenizing and the weighted-query paths.
+    */
+  private def groupedChunks(index: BM25Index, grouped: DataFrame,
+                            nQueries: Long): Iterator[Array[(String, Array[(String, Double)])]] = {
     val chunkRows = wandQueryChunkRows(index.spark)
     if (nQueries <= chunkRows) Iterator(grouped.collect().map(decodeGrouped))
     else {
@@ -322,26 +341,38 @@ object QueryEngine {
     * count() job exists; only over-chunk batches fall back to a counted
     * distributed streaming pass.
     */
+  /** Filtered retrieval (searchWand): the allowed docIntId set rides into
+    * the kernels as one broadcast sorted array; membership is checked at
+    * heap/accum insertion, so WAND's threshold pruning stays exact (upper
+    * bounds are unchanged; the threshold only ever reflects allowed docs).
+    * Left = terminal result: an empty filter short-circuits, and a filter
+    * too large for the broadcast bound falls back to the declarative
+    * semi-join path (exact and distributed at any selectivity) — with the
+    * broadcast retry suppressed, since this call just proved it over-bound.
+    */
+  private def resolveDocFilter(index: BM25Index, queries: DataFrame, k: Int,
+                               docFilter: Option[Column])
+      : Either[DataFrame, Option[org.apache.spark.broadcast.Broadcast[Array[Long]]]] =
+    docFilter match {
+      case None => Right(None)
+      case Some(f) => collectAllowed(index, f) match {
+        case Some(arr) if arr.isEmpty => Left(emptyResult(index.spark))
+        case Some(arr) => Right(Some(index.spark.sparkContext.broadcast(arr)))
+        case None =>
+          Left(searchExactImpl(index, queries, k, docFilter, tryBroadcastFilter = false))
+      }
+    }
+
   def searchWand(index: BM25Index, queries: DataFrame, k: Int,
                  docFilter: Option[Column] = None): DataFrame = {
     val spark = index.spark
     // empty index: its postings table has no partitions, so the candidate
     // scan's bucket/term columns would not even resolve
     if (index.numDocs == 0) return emptyResult(spark)
-    // Filtered retrieval: the allowed docIntId set rides into the kernels
-    // as one broadcast sorted array; membership is checked at heap/accum
-    // insertion, so WAND's threshold pruning stays exact (upper bounds are
-    // unchanged; the threshold only ever reflects allowed docs). A filter
-    // too large for the broadcast bound falls back to the declarative
-    // semi-join path — exact and distributed at any selectivity.
-    val allowedBc = docFilter match {
-      case None => None
-      case Some(f) => collectAllowed(index, f) match {
-        case Some(arr) if arr.isEmpty => return emptyResult(spark)
-        case Some(arr) => Some(spark.sparkContext.broadcast(arr))
-        case None => return searchExact(index, queries, k, docFilter)
-      }
-    }
+    // the doc filter is resolved only AFTER the cheap batch probes below:
+    // an empty or all-stopword batch must not pay the docs-dimension
+    // filter job, and every early return must precede broadcast creation
+    // (a broadcast minted before these returns would leak undestroyed)
     val chunkRows = wandQueryChunkRows(spark)
     val head = queries.select(col("qid"), col("query")).limit(chunkRows + 1).collect()
     if (head.isEmpty) return emptyResult(spark)
@@ -362,25 +393,40 @@ object QueryEngine {
         .filter(_._2.nonEmpty) // all-stopword/empty queries produce no rows
         .toArray
       if (qArr.isEmpty) return emptyResult(spark)
+      val allowedBc = resolveDocFilter(index, queries, k, docFilter) match {
+        case Left(terminal) => return terminal
+        case Right(bc) => bc
+      }
       val (partials, _) = wandPartialsWithHandle(index, qArr, k, allowedBc)
       return finishTopKIdx(index, partials, k, qArr.map(_._1))
     }
-    val grouped = groupedQueryTerms(index, queries)
-    // Large batch: count once, then stream partition-sized chunks through
-    // the driver. Chunks partition the QUERY set, so each chunk's results
-    // are final on their own: every chunk runs kernel + finish as its OWN
-    // job whose finished (≤ nChunkQueries × k) rows land in a temp
-    // parquet, and the chunk's query-array broadcast is destroyed before
-    // the next chunk is collected. A lazy union of chunk DataFrames would
-    // instead keep EVERY chunk's driver array + executor broadcast
-    // resident for the whole job; this way driver and executor memory
-    // really are bounded by one chunk. Temp files are removed at JVM exit
-    // (the result DataFrame reads them lazily until then).
+    val allowedBc = resolveDocFilter(index, queries, k, docFilter) match {
+      case Left(terminal) => return terminal
+      case Right(bc) => bc
+    }
+    searchGroupedChunked(index, groupedQueryTerms(index, queries), k, allowedBc)
+  }
+
+  /** Large batch: count once, then stream partition-sized chunks through
+    * the driver. Chunks partition the QUERY set, so each chunk's results
+    * are final on their own: every chunk runs kernel + finish as its OWN
+    * job whose finished (≤ nChunkQueries × k) rows land in a temp
+    * parquet, and the chunk's query-array broadcast is destroyed before
+    * the next chunk is collected. A lazy union of chunk DataFrames would
+    * instead keep EVERY chunk's driver array + executor broadcast
+    * resident for the whole job; this way driver and executor memory
+    * really are bounded by one chunk. Temp files are removed at JVM exit
+    * (the result DataFrame reads them lazily until then).
+    */
+  private def searchGroupedChunked(index: BM25Index, grouped: DataFrame, k: Int,
+      allowedBc: Option[org.apache.spark.broadcast.Broadcast[Array[Long]]]): DataFrame = {
+    val spark = index.spark
     val nQueries = grouped.count()
     val tmp = s"${chunkSpillRoot(index)}/${java.util.UUID.randomUUID()}"
     graft.util.TempFs.registerForCleanup(spark, tmp) // removed at JVM exit
     val chunkDirs = scala.collection.mutable.ArrayBuffer.empty[String]
-    queryChunks(index, queries, nQueries).filter(_.nonEmpty).foreach { qArr =>
+    groupedChunks(index, grouped, nQueries).map(_.filter(_._2.nonEmpty))
+      .filter(_.nonEmpty).foreach { qArr =>
       val (partials, bq) = wandPartialsWithHandle(index, qArr, k, allowedBc)
       val dir = s"$tmp/chunk-${chunkDirs.size}"
       finishTopKIdx(index, partials, k, qArr.map(_._1)).write.parquet(dir)
@@ -391,6 +437,32 @@ object QueryEngine {
     allowedBc.foreach(_.destroy())
     if (chunkDirs.isEmpty) return emptyResult(spark)
     spark.read.parquet(chunkDirs.toSeq: _*)
+  }
+
+  /** Weighted-term batch retrieval: `weighted` rows (qid, term, qtf) stand
+    * in for tokenized query text — `qtf` is any per-term weight (RM3
+    * expansion weights, field boosts), generalizing the duplicate-token
+    * count the text path produces. Scoring is Σ weight × impact through the
+    * same WAND/TAAT kernels and finish as [[searchWand]]; terms absent from
+    * the index contribute 0 (OOV semantics unchanged).
+    */
+  def searchWandWeighted(index: BM25Index, weighted: DataFrame, k: Int): DataFrame = {
+    val spark = index.spark
+    if (index.numDocs == 0) return emptyResult(spark)
+    val grouped = weighted
+      .groupBy("qid")
+      .agg(collect_list(struct(col("term").cast("string").as("term"),
+        col("qtf").cast("double").as("qtf"))).as("ts"))
+    val chunkRows = wandQueryChunkRows(spark)
+    val head = grouped.limit(chunkRows + 1).collect()
+    if (head.isEmpty) return emptyResult(spark)
+    if (head.length <= chunkRows) {
+      val qArr = head.map(decodeGrouped).filter(_._2.nonEmpty)
+      if (qArr.isEmpty) return emptyResult(spark)
+      val (partials, _) = wandPartialsWithHandle(index, qArr, k, None)
+      return finishTopKIdx(index, partials, k, qArr.map(_._1))
+    }
+    searchGroupedChunked(index, grouped, k, None)
   }
 
   /** One chunk's WAND partial candidates: (qid, docIntId, score), ≤ k per
