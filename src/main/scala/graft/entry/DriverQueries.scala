@@ -342,9 +342,9 @@ object DriverQueries {
     * engine-kernel twin (QueryEngine.searchWandWeighted + Rm3.searchIndexed)
     * is ScalaTest-checked against this math in Rm3Spec.
     */
-  private val rm3FbDocs = topK // feedback set = the flagship top-k
-  private val rm3FbTerms = 10
-  private val rm3Alpha = 0.5
+  private[entry] val rm3FbDocs = topK // feedback set = the flagship top-k
+  private[entry] val rm3FbTerms = 10
+  private[entry] val rm3Alpha = 0.5
 
   def bm25TopkRm3(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
@@ -387,8 +387,14 @@ object DriverQueries {
       .select(col("qid"), col("doc_id"), col("score"), col("rank").cast("int"))
   }
 
-  val bm25TopkRm3Sql: String =
-    s"""WITH $bm25RankedCtes,
+  /** The full RM3 oracle chain, parameterized by the pass-1 contribution
+    * and the weighted pass-2 contribution builder — shared by the composed
+    * (double-math) entry and the index-backed (float32-quantized) twin in
+    * OpsQueries.
+    */
+  private[entry] def rm3TopkSqlFor(pass1ContribSql: String,
+                                   pass2ContribOf: String => String): String =
+    s"""WITH ${bm25RankedCtesFor(pass1ContribSql)},
        |fb AS (SELECT qid, doc_id, score FROM ranked WHERE rank <= $rm3FbDocs),
        |ssum AS (SELECT qid, sum(score) AS ssum FROM fb GROUP BY 1),
        |pwd AS (SELECT tf.doc_id, tf.term, tf.tf::DOUBLE / dl.dl::DOUBLE AS pwd
@@ -411,7 +417,7 @@ object DriverQueries {
        |        FROM qm FULL JOIN fbt ON qm.qid = fbt.qid AND qm.term = fbt.term),
        |wtsnz AS (SELECT * FROM wts WHERE qtf <> 0),
        |scored3 AS (
-       |  SELECT wts.qid, tf.doc_id, round(sum(${luceneContribSqlW("wts.qtf")}), 4) AS score
+       |  SELECT wts.qid, tf.doc_id, round(sum(${pass2ContribOf("wts.qtf")}), 4) AS score
        |  FROM wtsnz wts
        |  JOIN tf USING (term) JOIN dft USING (term) JOIN dl ON tf.doc_id = dl.doc_id
        |  CROSS JOIN stats
@@ -422,6 +428,8 @@ object DriverQueries {
        |       FROM scored3)
        |SELECT qid, doc_id, score, rank::INT AS rank FROM rr WHERE rank <= $topK
        |""".stripMargin
+
+  val bm25TopkRm3Sql: String = rm3TopkSqlFor(luceneContribSql, luceneContribSqlW)
 
   // ---- tokenization stats ----------------------------------------------
 

@@ -588,15 +588,58 @@ object OpsQueries {
   // parenthesized to BM25.Scalar.impact's exact double association
   // (idf * (tf / (tf + k1*norm))) — the float32 cast right after makes
   // association-order ulp drift the one thing worth eliminating
-  private val quantContribSql: String =
-    """qtf.qtf * CAST(CAST(ln(1.0 + (stats.n - dft.df + 0.5)/(dft.df + 0.5))
-      |      * (tf.tf / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS REAL) AS DOUBLE)""".stripMargin
+  private def quantContribSqlW(weightRef: String): String =
+    s"""$weightRef * CAST(CAST(ln(1.0 + (stats.n - dft.df + 0.5)/(dft.df + 0.5))
+       |      * (tf.tf / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS REAL) AS DOUBLE)""".stripMargin
+
+  private val quantContribSql: String = quantContribSqlW("qtf.qtf")
 
   val bm25TopkIndexedSql: String =
     s"""WITH ${DriverQueries.bm25RankedCtesFor(quantContribSql)}
        |SELECT qid, doc_id, score, rank::INT AS rank FROM ranked
        |WHERE rank <= ${DriverQueries.bm25TopK}
        |""".stripMargin
+
+  /** BM25+RM3 through the INDEX-BACKED engine: pass 1 = searchWand over
+    * the float32-impact index (rounded re-rank picks the feedback docs);
+    * relevance model from re-tokenizing ONLY the feedback docs (bounded
+    * semi-join — the stand-in for stored doc vectors); pass 2 =
+    * searchWandWeighted runs the interpolated weights through the same
+    * kernels. The DuckDB twin quantizes BOTH passes' impacts through REAL
+    * and reproduces the expansion math (rm1/weights rounded 6 dp before
+    * rank-sensitive selection) exactly as the composed `bm25_rm3` oracle.
+    */
+  def bm25TopkRm3Indexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = new graft.query.BM25Index(spark, indexedDir(spark, sfDir))
+    import spark.implicits._
+    val q = DriverQueries.bm25Queries.toDF("qid", "query")
+    val fb = rerankRounded(graft.query.QueryEngine.searchWand(idx, q, indexedRawK))
+      .select("qid", "doc_id", "score")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fbCorpus = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      .join(fb.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+    val toks = fbCorpus.select(col("doc_id"),
+      explode(Tokenizer.tokensNoStem(col("text"), Tokenizer.AsciiTokenPattern))
+        .as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docTf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val qtf = q.select(col("qid"),
+      explode(Tokenizer.tokensNoStem(col("query"), Tokenizer.AsciiTokenPattern))
+        .as("term"))
+      .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+    val weights = graft.query.Rm3.expandWeights(fb, docTf, dl, qtf,
+      DriverQueries.rm3FbTerms, DriverQueries.rm3Alpha,
+      rm1Scale = 6, weightScale = 6)
+    // the weighted pass collects eagerly, so the persists release safely
+    val res = rerankRounded(
+      graft.query.QueryEngine.searchWandWeighted(idx, weights, indexedRawK))
+    toks.unpersist(); fb.unpersist()
+    res
+  }
+
+  val bm25TopkRm3IndexedSql: String =
+    DriverQueries.rm3TopkSqlFor(quantContribSql, quantContribSqlW)
 
   /** Same float32-quantized chain, ranked over the filtered candidate set
     * (stats global — the filter touches only the ranking input).
@@ -634,7 +677,8 @@ object OpsQueries {
     "beir_qrels_join" -> (beirQrelsJoin _),
     "eval_metrics" -> (evalMetrics _),
     "bm25_topk_indexed" -> (bm25TopkIndexed _),
-    "bm25_topk_filtered_indexed" -> (bm25TopkFilteredIndexed _))
+    "bm25_topk_filtered_indexed" -> (bm25TopkFilteredIndexed _),
+    "bm25_rm3_indexed" -> (bm25TopkRm3Indexed _))
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -657,5 +701,6 @@ object OpsQueries {
     "beir_qrels_join" -> beirQrelsJoinSql,
     "eval_metrics" -> evalMetricsSql,
     "bm25_topk_indexed" -> bm25TopkIndexedSql,
+    "bm25_rm3_indexed" -> bm25TopkRm3IndexedSql,
     "bm25_topk_filtered_indexed" -> bm25TopkFilteredIndexedSql)
 }
