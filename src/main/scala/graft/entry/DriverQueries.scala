@@ -60,19 +60,30 @@ object DriverQueries {
   private val b = 0.75
   private val topK = 10
 
-  /** Composed declarative BM25 (double math end-to-end), parameterized by
-    * scoring variant via graft.score.BM25's Column builders: tf/df/len
-    * aggregates + scoring join + rounded-rank window. The index-backed
-    * engine path (float32 impacts) is exercised by `bm25_topk_indexed` and
-    * ScalaTest parity suites.
+  /** Shared composed-pipeline inputs: tokenized-corpus aggregates plus the
+    * fixed query set tokenized. The token table is persisted because three
+    * consumers (tf→df, dl, and the scoring join) would otherwise re-run
+    * tokenize per branch; released by the driver's per-query cache clear.
     */
-  def bm25TopkMethod(spark: SparkSession, sfDir: String,
-                     p: graft.score.BM25Params,
-                     docPred: Option[Column] = None): DataFrame = {
+  private case class ComposedInputs(tf: DataFrame, dft: DataFrame,
+      dl: DataFrame, nDocs: Long, avgdl: Double, qtf: DataFrame) {
+    /** One weighted scoring pass: join weights (qid, term, qtf) against the
+      * corpus aggregates, contribution = weight × impact, 4-dp-rounded sum
+      * per (qid, doc) — shared by every composed variant and both RM3
+      * passes (pass 1 IS the flagship math with integer qtf weights).
+      */
+    def scorePass(weights: DataFrame, p: graft.score.BM25Params): DataFrame = {
+      val impact = graft.score.BM25.impact(p, col("tf"), col("df"), col("dl"),
+        lit(nDocs.toDouble), lit(avgdl))
+      weights.join(tf, "term").join(dft, "term").join(dl, "doc_id")
+        .select(col("qid"), col("doc_id"), (col("qtf") * impact).as("contrib"))
+        .groupBy("qid", "doc_id")
+        .agg(round(sum(col("contrib")), 4).as("score"))
+    }
+  }
+
+  private def composedInputs(spark: SparkSession, sfDir: String): ComposedInputs = {
     val docs = t(spark, sfDir, "documents")
-    // three consumers (tf→df, dl, and the scoring join) would otherwise
-    // re-run tokenize per branch; released by the driver's per-query
-    // cache clear
     val ftok = docs.select(col("doc_id"),
       explode(asciiTokens(col("text"))).as("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -84,21 +95,25 @@ object DriverQueries {
       .select(col("doc_id"), size(asciiTokens(col("text"))).cast("long").as("n_tok"))
       .agg(count(lit(1)), sum(col("n_tok"))).head()
     val nDocs = statsRow.getLong(0)
-    val avgdl = statsRow.getLong(1).toDouble / nDocs
-
     import spark.implicits._
     val q = bm25Queries.toDF("qid", "qtext")
     val qtf = q.select(col("qid"), explode(asciiTokens(col("qtext"))).as("term"))
       .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+    ComposedInputs(tf, dft, dl, nDocs,
+      statsRow.getLong(1).toDouble / nDocs, qtf)
+  }
 
-    val impact = graft.score.BM25.impact(p, col("tf"), col("df"), col("dl"),
-      lit(nDocs.toDouble), lit(avgdl))
-    val scored = qtf
-      .join(tf, "term").join(dft, "term").join(dl, "doc_id")
-      .select(col("qid"), col("doc_id"),
-        (col("qtf") * impact).as("contrib"))
-      .groupBy("qid", "doc_id")
-      .agg(round(sum(col("contrib")), 4).as("score"))
+  /** Composed declarative BM25 (double math end-to-end), parameterized by
+    * scoring variant via graft.score.BM25's Column builders: tf/df/len
+    * aggregates + scoring join + rounded-rank window. The index-backed
+    * engine path (float32 impacts) is exercised by `bm25_topk_indexed` and
+    * ScalaTest parity suites.
+    */
+  def bm25TopkMethod(spark: SparkSession, sfDir: String,
+                     p: graft.score.BM25Params,
+                     docPred: Option[Column] = None): DataFrame = {
+    val in = composedInputs(spark, sfDir)
+    val scored = in.scorePass(in.qtf, p)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
     // filtered retrieval (Lucene filter-query semantics): the predicate
     // restricts CANDIDATE docs at query time while every corpus statistic
@@ -347,41 +362,19 @@ object DriverQueries {
   private[entry] val rm3Alpha = 0.5
 
   def bm25TopkRm3(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = t(spark, sfDir, "documents")
-    val ftok = docs.select(col("doc_id"),
-      explode(asciiTokens(col("text"))).as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tf = ftok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = ftok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val statsRow = docs
-      .select(col("doc_id"), size(asciiTokens(col("text"))).cast("long").as("n_tok"))
-      .agg(count(lit(1)), sum(col("n_tok"))).head()
-    val nDocs = statsRow.getLong(0)
-    val avgdl = statsRow.getLong(1).toDouble / nDocs
-
-    import spark.implicits._
-    val q = bm25Queries.toDF("qid", "qtext")
-    val qtf = q.select(col("qid"), explode(asciiTokens(col("qtext"))).as("term"))
-      .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
-
-    val impact = graft.score.BM25.impact(graft.score.BM25Params(),
-      col("tf"), col("df"), col("dl"), lit(nDocs.toDouble), lit(avgdl))
-    def pass(weights: DataFrame): DataFrame =
-      weights.join(tf, "term").join(dft, "term").join(dl, "doc_id")
-        .select(col("qid"), col("doc_id"), (col("qtf") * impact).as("contrib"))
-        .groupBy("qid", "doc_id")
-        .agg(round(sum(col("contrib")), 4).as("score"))
+    val in = composedInputs(spark, sfDir)
+    val p = graft.score.BM25Params()
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
-    // pass 1 is math-identical to bm25_topk; persisted because the
-    // relevance model scans it twice (Σscore and the per-term join)
-    val fb = pass(qtf)
+    // pass 1 is the flagship math (ComposedInputs.scorePass with integer
+    // qtf); persisted because the relevance model scans it twice (Σscore
+    // and the per-term join)
+    val fb = in.scorePass(in.qtf, p)
       .withColumn("rank", row_number().over(w)).where(col("rank") <= rm3FbDocs)
       .select("qid", "doc_id", "score")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val weights = graft.query.Rm3.expandWeights(fb, tf, dl, qtf,
+    val weights = graft.query.Rm3.expandWeights(fb, in.tf, in.dl, in.qtf,
       rm3FbTerms, rm3Alpha, rm1Scale = 6, weightScale = 6)
-    pass(weights)
+    in.scorePass(weights, p)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= topK)
       .select(col("qid"), col("doc_id"), col("score"), col("rank").cast("int"))
@@ -395,7 +388,8 @@ object DriverQueries {
   private[entry] def rm3TopkSqlFor(pass1ContribSql: String,
                                    pass2ContribOf: String => String): String =
     s"""WITH ${bm25RankedCtesFor(pass1ContribSql)},
-       |fb AS (SELECT qid, doc_id, score FROM ranked WHERE rank <= $rm3FbDocs),
+       |fb AS (SELECT qid, doc_id, score FROM ranked
+       |       WHERE rank <= $rm3FbDocs AND score > 0),
        |ssum AS (SELECT qid, sum(score) AS ssum FROM fb GROUP BY 1),
        |pwd AS (SELECT tf.doc_id, tf.term, tf.tf::DOUBLE / dl.dl::DOUBLE AS pwd
        |        FROM tf JOIN dl ON tf.doc_id = dl.doc_id),

@@ -616,26 +616,28 @@ object OpsQueries {
     val fb = rerankRounded(graft.query.QueryEngine.searchWand(idx, q, indexedRawK))
       .select("qid", "doc_id", "score")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fbCorpus = docs(spark, sfDir).select(col("doc_id"), col("text"))
-      .join(fb.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-    val toks = fbCorpus.select(col("doc_id"),
-      explode(Tokenizer.tokensNoStem(col("text"), Tokenizer.AsciiTokenPattern))
-        .as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docTf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val qtf = q.select(col("qid"),
-      explode(Tokenizer.tokensNoStem(col("query"), Tokenizer.AsciiTokenPattern))
-        .as("term"))
-      .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
-    val weights = graft.query.Rm3.expandWeights(fb, docTf, dl, qtf,
-      DriverQueries.rm3FbTerms, DriverQueries.rm3Alpha,
-      rm1Scale = 6, weightScale = 6)
-    // the weighted pass collects eagerly, so the persists release safely
-    val res = rerankRounded(
-      graft.query.QueryEngine.searchWandWeighted(idx, weights, indexedRawK))
-    toks.unpersist(); fb.unpersist()
-    res
+    try {
+      val fbCorpus = docs(spark, sfDir).select(col("doc_id"), col("text"))
+        .join(fb.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      val toks = fbCorpus.select(col("doc_id"),
+        explode(Tokenizer.tokensNoStem(col("text"), Tokenizer.AsciiTokenPattern))
+          .as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val docTf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val qtf = q.select(col("qid"),
+          explode(Tokenizer.tokensNoStem(col("query"), Tokenizer.AsciiTokenPattern))
+            .as("term"))
+          .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+        val weights = graft.query.Rm3.expandWeights(fb, docTf, dl, qtf,
+          DriverQueries.rm3FbTerms, DriverQueries.rm3Alpha,
+          rm1Scale = 6, weightScale = 6)
+        // the weighted pass collects eagerly, so the persists release safely
+        rerankRounded(
+          graft.query.QueryEngine.searchWandWeighted(idx, weights, indexedRawK))
+      } finally toks.unpersist()
+    } finally fb.unpersist()
   }
 
   val bm25TopkRm3IndexedSql: String =

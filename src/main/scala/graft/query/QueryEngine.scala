@@ -440,11 +440,16 @@ object QueryEngine {
   }
 
   /** Weighted-term batch retrieval: `weighted` rows (qid, term, qtf) stand
-    * in for tokenized query text — `qtf` is any per-term weight (RM3
-    * expansion weights, field boosts), generalizing the duplicate-token
-    * count the text path produces. Scoring is Σ weight × impact through the
-    * same WAND/TAAT kernels and finish as [[searchWand]]; terms absent from
-    * the index contribute 0 (OOV semantics unchanged).
+    * in for tokenized query text — `qtf` is any NON-NEGATIVE per-term
+    * weight (RM3 expansion weights, field boosts), generalizing the
+    * duplicate-token count the text path produces. Negative weights are
+    * rejected: the DAAT kernel's block-max pruning relies on
+    * maxImpact × weight being an UPPER bound of a term's contribution,
+    * which only holds for weight ≥ 0 (a negative weight could silently
+    * drop valid results under WAND while TAAT stayed exact). Scoring is
+    * Σ weight × impact through the same WAND/TAAT kernels and finish as
+    * [[searchWand]]; terms absent from the index contribute 0 (OOV
+    * semantics unchanged).
     */
   def searchWandWeighted(index: BM25Index, weighted: DataFrame, k: Int): DataFrame = {
     val spark = index.spark
@@ -462,7 +467,12 @@ object QueryEngine {
       val (partials, _) = wandPartialsWithHandle(index, qArr, k, None)
       return finishTopKIdx(index, partials, k, qArr.map(_._1))
     }
-    searchGroupedChunked(index, grouped, k, None)
+    // over-chunk: the probe above already paid one full aggregation of
+    // `grouped`; persist so the count and chunk stream inside reuse it
+    // (the chunk jobs all run eagerly in there, so the unpersist is safe)
+    grouped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try searchGroupedChunked(index, grouped, k, None)
+    finally grouped.unpersist()
   }
 
   /** One chunk's WAND partial candidates: (qid, docIntId, score), ≤ k per
@@ -484,6 +494,10 @@ object QueryEngine {
                            allowedBc: Option[org.apache.spark.broadcast.Broadcast[Array[Long]]]): (DataFrame,
                              org.apache.spark.broadcast.Broadcast[Array[(String, Array[(String, Double)])]]) = {
     val spark = index.spark
+    // DAAT correctness precondition (see searchWandWeighted scaladoc);
+    // O(batch terms) on the driver, negligible next to the kernel job
+    require(qArr.forall(_._2.forall(_._2 >= 0.0)),
+      "query term weights must be non-negative (WAND upper-bound pruning)")
     val terms = qArr.flatMap(_._2.map(_._1)).distinct.toSeq
     val bq = spark.sparkContext.broadcast(qArr)
     val kk = k

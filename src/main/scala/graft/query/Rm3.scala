@@ -32,7 +32,9 @@ object Rm3 {
   /** RM3 interpolated term weights from a feedback run.
     *
     * @param fb     top-fbDocs feedback rows (qid, doc, score) — pass-1
-    *               output already cut to the feedback depth
+    *               output already cut to the feedback depth; rows with
+    *               score ≤ 0 are ignored (no relevance mass, and they
+    *               would push ssum toward a 0/0 NaN)
     * @param docTf  (doc, term, tf) term frequencies covering the feedback
     *               docs (a superset is fine; rows join through `fb`)
     * @param dl     (doc, dl) token counts for the same docs
@@ -50,13 +52,18 @@ object Rm3 {
                     rm1Scale: Int = -1, weightScale: Int = -1): DataFrame = {
     require(fbTerms > 0, "fbTerms must be positive")
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
-    val ssum = fb.groupBy("qid").agg(sum("score").as("ssum"))
+    // only positively-scored feedback docs carry relevance mass: a
+    // zero-score doc (possible after the driver's 4-dp rounding) or a
+    // negative one (robertson idf) would otherwise drive ssum toward 0 and
+    // 0/0 = NaN weights that poison the second pass
+    val fbPos = fb.where(col("score") > 0.0)
+    val ssum = fbPos.groupBy("qid").agg(sum("score").as("ssum"))
     val pwd = docTf.join(dl, docCol)
       .select(col(docCol), col("term"),
         (col("tf").cast("double") / col("dl")).as("pwd"))
     // score/ssum is NOT factored into a snorm column: (pwd*score)/ssum is
     // the association the SQL oracle twin computes, kept identical here
-    val rm1raw = fb.join(ssum, "qid").join(pwd, docCol)
+    val rm1raw = fbPos.join(ssum, "qid").join(pwd, docCol)
       .groupBy("qid", "term")
       .agg(sum(col("pwd") * col("score") / col("ssum")).as("rm1"))
     val rm1 =
