@@ -125,6 +125,31 @@ class Rm3Spec extends SparkTestBase {
     }
   }
 
+  test("zero/negative-score feedback carries no relevance mass (no NaN weights)") {
+    import spark.implicits._
+    // all-zero feedback would be 0/0 without the guard; the negative row
+    // (robertson idf regime) must be ignored rather than flip ssum's sign
+    val fb = Seq(("q1", "d1", 0.0), ("q1", "d2", -1.5)).toDF("qid", "doc_id", "score")
+    val docTf = Seq(("d1", "apple", 2L), ("d2", "pear", 1L)).toDF("doc_id", "term", "tf")
+    val dl = Seq(("d1", 2L), ("d2", 1L)).toDF("doc_id", "dl")
+    val qtf = Seq(("q1", "apple", 1L)).toDF("qid", "term", "qtf")
+    val w = Rm3.expandWeights(fb, docTf, dl, qtf, fbTerms = 4, alpha = 0.5)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toMap
+    // only the query model survives: apple = α·1; nothing NaN, no pear
+    assert(w == Map("apple" -> 0.5), s"weights: $w")
+  }
+
+  test("negative term weights are rejected before the kernels") {
+    import spark.implicits._
+    val idx = new BM25Index(spark, indexDir)
+    val bad = Seq(("q1", "merge", 1.0), ("q1", "join", -2.0))
+      .toDF("qid", "term", "qtf")
+    val e = intercept[IllegalArgumentException] {
+      QueryEngine.searchWandWeighted(idx, bad, 5).collect()
+    }
+    assert(e.getMessage.contains("non-negative"), e.getMessage)
+  }
+
   test("composed driver entry: rows, schema, and OOV/stopword behavior") {
     val df = graft.entry.DriverQueries.bm25TopkRm3(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
