@@ -150,6 +150,21 @@ class Rm3Spec extends SparkTestBase {
     assert(e.getMessage.contains("non-negative"), e.getMessage)
   }
 
+  test("weighted over-chunk path matches the single-collect path") {
+    val idx = new BM25Index(spark, indexDir)
+    val weighted = queriesDf
+      .select(col("qid"),
+        explode(graft.tokenize.Tokenizer.tokens(col("query"),
+          idx.tokenPattern, idx.stem)).as("term"))
+      .groupBy("qid", "term").agg(count(lit(1)).cast("double").as("qtf"))
+    val want = resultsByQid(QueryEngine.searchWandWeighted(idx, weighted, 10))
+    spark.conf.set("spark.graft.wandQueryChunkRows", "2") // force chunking
+    try {
+      val got = resultsByQid(QueryEngine.searchWandWeighted(idx, weighted, 10))
+      assert(got == want, s"chunked != single-collect:\n$got\nvs\n$want")
+    } finally spark.conf.unset("spark.graft.wandQueryChunkRows")
+  }
+
   test("composed driver entry: rows, schema, and OOV/stopword behavior") {
     val df = graft.entry.DriverQueries.bm25TopkRm3(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
