@@ -61,6 +61,18 @@ object Graft {
     if (exact) QueryEngine.searchExact(index, queries, k, docFilter)
     else QueryEngine.searchWand(index, queries, k, docFilter)
 
+  /** BM25+RM3 retrieval (pseudo-relevance-feedback query expansion):
+    * pass 1 retrieves fbDocs feedback docs per query, a relevance model is
+    * estimated from them (re-tokenizing only those docs out of `corpus` —
+    * the same frame the index was built from), and the α-interpolated
+    * weighted query runs pass 2. See [[graft.query.Rm3]] for the math and
+    * scale shape.
+    */
+  def searchRm3(index: BM25Index, corpus: DataFrame, queries: DataFrame,
+                k: Int = 1000, fbDocs: Int = 10, fbTerms: Int = 10,
+                alpha: Double = 0.5): DataFrame =
+    query.Rm3.searchIndexed(index, corpus, queries, k, fbDocs, fbTerms, alpha)
+
   def evaluate(results: DataFrame, qrels: DataFrame,
                cutoffs: Seq[Int] = eval.TrecEval.DefaultCutoffs): DataFrame =
     eval.TrecEval.evaluate(

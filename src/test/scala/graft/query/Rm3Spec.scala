@@ -67,8 +67,8 @@ class Rm3Spec extends SparkTestBase {
   test("alpha=1 (pure query model) preserves the unexpanded ranking") {
     val idx = new BM25Index(spark, indexDir)
     val base = resultsByQid(QueryEngine.searchWand(idx, queriesDf, 10))
-    val rm3 = resultsByQid(
-      Rm3.searchIndexed(idx, corpusDf, queriesDf, 10, fbDocs = 5, fbTerms = 8,
+    val rm3 = resultsByQid( // via the facade — same code path as Rm3.searchIndexed
+      graft.Graft.searchRm3(idx, corpusDf, queriesDf, 10, fbDocs = 5, fbTerms = 8,
         alpha = 1.0))
     assert(rm3.keySet == base.keySet)
     for (qid <- base.keySet) {
