@@ -63,15 +63,16 @@ object Graft {
 
   /** BM25+RM3 retrieval (pseudo-relevance-feedback query expansion):
     * pass 1 retrieves fbDocs feedback docs per query, a relevance model is
-    * estimated from them (re-tokenizing only those docs out of `corpus` —
-    * the same frame the index was built from), and the α-interpolated
-    * weighted query runs pass 2. See [[graft.query.Rm3]] for the math and
-    * scale shape.
+    * estimated from the index's stored doc vectors (a pruned fetch of only
+    * those docs — no corpus scan), and the α-interpolated weighted query
+    * runs pass 2. See [[graft.query.Rm3]] for the math and scale shape;
+    * for a legacy index without doc vectors use
+    * [[graft.query.Rm3.searchIndexedRetokenize]].
     */
-  def searchRm3(index: BM25Index, corpus: DataFrame, queries: DataFrame,
+  def searchRm3(index: BM25Index, queries: DataFrame,
                 k: Int = 1000, fbDocs: Int = 10, fbTerms: Int = 10,
                 alpha: Double = 0.5): DataFrame =
-    query.Rm3.searchIndexed(index, corpus, queries, k, fbDocs, fbTerms, alpha)
+    query.Rm3.searchIndexed(index, queries, k, fbDocs, fbTerms, alpha)
 
   def evaluate(results: DataFrame, qrels: DataFrame,
                cutoffs: Seq[Int] = eval.TrecEval.DefaultCutoffs): DataFrame =

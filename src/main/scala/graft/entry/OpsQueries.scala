@@ -602,12 +602,15 @@ object OpsQueries {
 
   /** BM25+RM3 through the INDEX-BACKED engine: pass 1 = searchWand over
     * the float32-impact index (rounded re-rank picks the feedback docs);
-    * relevance model from re-tokenizing ONLY the feedback docs (bounded
-    * semi-join — the stand-in for stored doc vectors); pass 2 =
-    * searchWandWeighted runs the interpolated weights through the same
-    * kernels. The DuckDB twin quantizes BOTH passes' impacts through REAL
-    * and reproduces the expansion math (rm1/weights rounded 6 dp before
-    * rank-sensitive selection) exactly as the composed `bm25_rm3` oracle.
+    * relevance model from the index's STORED doc vectors (a salt-pruned
+    * fetch of only the feedback docs — Rm3.feedbackVectors; no corpus scan
+    * or re-tokenization anywhere in the plan); pass 2 = searchWandWeighted
+    * runs the interpolated weights through the same kernels. The DuckDB
+    * twin quantizes BOTH passes' impacts through REAL and reproduces the
+    * expansion math (rm1/weights rounded 6 dp before rank-sensitive
+    * selection) exactly as the composed `bm25_rm3` oracle — the stored tf
+    * values equal the oracle's re-derived ones by construction (same
+    * tokenizer at build time).
     */
   def bm25TopkRm3Indexed(spark: SparkSession, sfDir: String): DataFrame = {
     val idx = new graft.query.BM25Index(spark, indexedDir(spark, sfDir))
@@ -617,26 +620,21 @@ object OpsQueries {
       .select("qid", "doc_id", "score")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val fbCorpus = docs(spark, sfDir).select(col("doc_id"), col("text"))
-        .join(fb.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-      val toks = fbCorpus.select(col("doc_id"),
-        explode(Tokenizer.tokensNoStem(col("text"), Tokenizer.AsciiTokenPattern))
+      val (docTfS, dlS) = graft.query.Rm3.feedbackVectors(idx,
+        fb.select(col("doc_id").cast("string").as("docId")))
+      val docTf = docTfS.select(col("docId").cast("long").as("doc_id"),
+        col("term"), col("tf"))
+      val dl = dlS.select(col("docId").cast("long").as("doc_id"), col("dl"))
+      val qtf = q.select(col("qid"),
+        explode(Tokenizer.tokensNoStem(col("query"), Tokenizer.AsciiTokenPattern))
           .as("term"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val docTf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val qtf = q.select(col("qid"),
-          explode(Tokenizer.tokensNoStem(col("query"), Tokenizer.AsciiTokenPattern))
-            .as("term"))
-          .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
-        val weights = graft.query.Rm3.expandWeights(fb, docTf, dl, qtf,
-          DriverQueries.rm3FbTerms, DriverQueries.rm3Alpha,
-          rm1Scale = 6, weightScale = 6)
-        // the weighted pass collects eagerly, so the persists release safely
-        rerankRounded(
-          graft.query.QueryEngine.searchWandWeighted(idx, weights, indexedRawK))
-      } finally toks.unpersist()
+        .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+      val weights = graft.query.Rm3.expandWeights(fb, docTf, dl, qtf,
+        DriverQueries.rm3FbTerms, DriverQueries.rm3Alpha,
+        rm1Scale = 6, weightScale = 6)
+      // the weighted pass collects eagerly, so the persist releases safely
+      rerankRounded(
+        graft.query.QueryEngine.searchWandWeighted(idx, weights, indexedRawK))
     } finally fb.unpersist()
   }
 

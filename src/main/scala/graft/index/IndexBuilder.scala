@@ -27,6 +27,7 @@ final case class PostingBlock(
   *   docmap/   (docId STRING, docIntId LONG, salt INT)
   *   segments/ g=<group>/ (docIntId, len, term, tf)      [resumable stage]
   *   docs/     (docIntId LONG, docId STRING, len LONG, salt INT)
+  *   docvecs/  salt=<s>/ (docIntId, term, tf)   [stored doc term vectors]
   *   termstats/ (term STRING, df LONG, ctf LONG)
   *   postings/ bucket=<b>/ (term, salt, df, count, maxImpact, blocks)
   *   _commits/ *.json  per-partition-group lineage + metrics
@@ -67,6 +68,13 @@ object IndexBuilder {
       numBuckets: Int = 16,
       docmapPartitions: Int = 0, // 0 = spark default parallelism
       failAfterGroup: Int = -1, // test hook: crash after committing group g
+      // Store per-document term vectors (docvecs table) — the analogue of
+      // Pyserini's `--storeDocvectors` (reference: benchmark/on_pyserini.py:
+      // 245-253, passed unconditionally by the harness), which exists
+      // precisely for feedback-style consumers: RM3 fetches its nQueries ×
+      // fbDocs feedback vectors by key instead of re-tokenizing the corpus.
+      // Costs one extra shuffle+write of the narrow token table at build.
+      storeDocVectors: Boolean = true,
       // cache the segments table across its three consumers. Default OFF:
       // each consumer column-prunes a different subset, and re-scanning
       // narrow parquet columns measured FASTER than materializing the full
@@ -252,6 +260,24 @@ object IndexBuilder {
       store.commit(PartitionCommit("docs", Seq("docs"), n,
         Map("stage" -> "docs"), (System.nanoTime() - s) / 1e9))
     }
+    // ---- stage 2b: docvecs — stored document term vectors, re-clustered
+    // for per-doc random access: partitioned by salt (a feedback fetch
+    // partition-prunes to its docs' salt groups) and sorted by docIntId
+    // within files (row-group min/max stats prune to the exact docs, so a
+    // bounded doc set reads a bounded byte range — no corpus or token-table
+    // scan). Consumed by graft.query.Rm3.feedbackVectors.
+    if (cfg.storeDocVectors && !store.committedGroups().contains("docvecs")) {
+      val s = System.nanoTime()
+      val n = writeCounted(
+        segments.select(col("docIntId"), col("term"), col("tf"))
+          .withColumn("salt", saltOf(col("docIntId")))
+          .repartition(P, col("salt"))
+          .sortWithinPartitions("salt", "docIntId", "term"),
+        s"$indexDir/docvecs", partitionCols = Seq("salt"))
+      store.commit(PartitionCommit("docvecs", Seq("docvecs"), n,
+        Map("stage" -> "docvecs"), (System.nanoTime() - s) / 1e9))
+    }
+
     val docs = spark.read.parquet(s"$indexDir/docs")
     val statsRow = docs.agg(count(lit(1)), avg(col("len")), sum(col("len")),
       countDistinct(col("salt"))).head()
@@ -330,6 +356,7 @@ object IndexBuilder {
       "tokenPattern" -> cfg.tokenPattern,
       "stemmer" -> (if (cfg.stem) "snowball-en" else "none"),
       "stopwords" -> "en-33",
+      "docVectors" -> cfg.storeDocVectors.toString,
       "numDocs" -> numDocs.toString, "avgdl" -> avgdl.toString,
       "numTokens" -> numTokens.toString,
       "numBuckets" -> cfg.numBuckets.toString,

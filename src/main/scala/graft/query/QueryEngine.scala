@@ -35,6 +35,23 @@ class BM25Index(val spark: SparkSession, val indexDir: String) {
 
   def postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
 
+  /** Whether this index stores per-document term vectors (the Pyserini
+    * `--storeDocvectors` analogue; IndexBuilder.Config.storeDocVectors).
+    * Indexes built before the docvecs stage existed report false.
+    */
+  val hasDocVectors: Boolean = props.get("docVectors").contains("true")
+
+  /** Stored doc term vectors (docIntId, term, tf), salt-partitioned and
+    * docIntId-sorted within files — fetch through Rm3.feedbackVectors so
+    * partition + row-group pruning apply.
+    */
+  def docvecs: DataFrame = {
+    require(hasDocVectors,
+      s"index at $indexDir was built without doc vectors " +
+        "(IndexBuilder.Config.storeDocVectors = false)")
+    spark.read.parquet(s"$indexDir/docvecs")
+  }
+
   /** docs dimension (docIntId → docId, len): cached MEMORY_AND_DISK — it is
     * re-read by every query's finish join (spills to disk if the corpus is
     * too large to pin, so this stays safe at scale). Deliberately cached

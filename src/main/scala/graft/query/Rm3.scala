@@ -21,8 +21,9 @@ import graft.tokenize.Tokenizer
   * second retrieval pass scoring Σ_w weight(w) · impact(w, d).
   *
   * Scale shape: the relevance model touches only nQueries × fbDocs
-  * feedback documents (a semi-join against the corpus + re-tokenize of
-  * that bounded set — the stand-in for Lucene's stored doc vectors), the
+  * feedback documents, fetched from the index's STORED doc vectors with
+  * salt-partition + docIntId row-group pruning (the Lucene
+  * `--storeDocvectors` design, benchmark/on_pyserini.py:245-253), the
   * expansion tables are ≤ nQueries × (|q| + fbTerms) rows, and both
   * retrieval passes run the ordinary engine kernels. No stage grows with
   * corpus size beyond the retrieval passes themselves.
@@ -92,16 +93,104 @@ object Rm3 {
     rounded.where(col("qtf") =!= 0.0)
   }
 
-  /** BM25+RM3 over a built index: pass 1 via [[QueryEngine.searchWand]],
-    * relevance model from re-tokenizing the ≤ nQueries × fbDocs feedback
-    * docs out of `corpus` (docId, content — the same frame the index was
-    * built from), pass 2 via [[QueryEngine.searchWandWeighted]]. Both
-    * intermediate persists are released before returning (the result rows
-    * are already materialized through the weighted pass's collect/spill).
+  /** Max feedback-doc rows collected to the driver to drive docvec
+    * partition/row-group pruning; beyond it the fetch degrades to a
+    * distributed semi-join (exact, no pruning). nQueries × fbDocs stays
+    * far below this for any sane batch.
     */
-  def searchIndexed(index: BM25Index, corpus: DataFrame, queries: DataFrame,
+  def maxPrunedFeedbackDocs(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.rm3MaxPrunedFeedbackDocs")
+      .map(_.toInt).getOrElse(1 << 21)
+
+  /** Fetch stored doc vectors for a bounded feedback doc set from the
+    * index's docvecs table (the consumer Pyserini stores doc vectors for,
+    * benchmark/on_pyserini.py:245-253).
+    *
+    * @param fbDocIds frame with a `docId` column (duplicates fine),
+    *                 ≤ nQueries × fbDocs rows by construction
+    * @return (docTf (docId, term, tf), dl (docId, dl)) — keyed by the
+    *         corpus docId string, ready for [[expandWeights]].
+    *
+    * Scale shape: the doc set resolves against the cached docs dimension,
+    * its (docIntId, salt) pairs are collected (bounded — see
+    * `maxPrunedFeedbackDocs`), and the docvecs scan is pruned to the
+    * matching salt PARTITIONS with a docIntId In-filter pushed to the
+    * row-group stats (files are docIntId-sorted). No stage scans the
+    * corpus or the full token table; at In-literal-unfriendly sizes the id
+    * filter becomes a broadcast semi-join (partition pruning retained).
+    */
+  def feedbackVectors(index: BM25Index, fbDocIds: DataFrame): (DataFrame, DataFrame) = {
+    val spark = index.spark
+    val dim = index.docs
+      .join(broadcast(fbDocIds.select("docId").distinct()), Seq("docId"))
+      .select(col("docId"), col("docIntId"), col("salt"), col("len"))
+    val dl = dim.select(col("docId"), col("len").as("dl"))
+    val bound = maxPrunedFeedbackDocs(spark)
+    val lim = math.min(bound.toLong + 1L, Int.MaxValue.toLong).toInt
+    val rows = dim.select(col("docIntId"), col("salt")).limit(lim).collect()
+    val pruned =
+      if (rows.length > bound) // over-bound: exact distributed fallback
+        index.docvecs.join(dim.select("docIntId").hint("shuffle_hash"),
+          Seq("docIntId"), "left_semi")
+      else {
+        val ids = rows.map(_.getLong(0))
+        val salts = rows.map(_.getInt(1)).distinct.toSeq
+        val bySalt = index.docvecs.where(col("salt").isInCollection(salts))
+        if (ids.length <= QueryEngine.maxInTerms(spark))
+          bySalt.where(col("docIntId").isInCollection(ids.toSeq))
+        else {
+          import spark.implicits._
+          bySalt.join(broadcast(ids.toSeq.toDF("docIntId")),
+            Seq("docIntId"), "left_semi")
+        }
+      }
+    val docTf = pruned
+      .join(broadcast(dim.select("docIntId", "docId")), "docIntId")
+      .select(col("docId"), col("term"), col("tf"))
+    (docTf, dl)
+  }
+
+  /** BM25+RM3 over a built index: pass 1 via [[QueryEngine.searchWand]],
+    * relevance model from the index's STORED doc vectors (a pruned fetch of
+    * the ≤ nQueries × fbDocs feedback vectors — see [[feedbackVectors]]; no
+    * corpus scan, no re-tokenization), pass 2 via
+    * [[QueryEngine.searchWandWeighted]]. The feedback persist is released
+    * before returning (the weighted pass materializes eagerly). Requires an
+    * index built with `storeDocVectors` (the default); for legacy indexes
+    * without doc vectors use [[searchIndexedRetokenize]].
+    */
+  def searchIndexed(index: BM25Index, queries: DataFrame,
                     k: Int, fbDocs: Int = 10, fbTerms: Int = 10,
                     alpha: Double = 0.5): DataFrame = {
+    require(fbDocs > 0, "fbDocs must be positive")
+    val fb = QueryEngine.searchWand(index, queries, fbDocs)
+      .select(col("qid"), col("docId"), col("score"))
+    fb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (docTf, dl) = feedbackVectors(index, fb.select("docId"))
+      val weights = expandWeights(fb, docTf, dl, queryTf(index, queries),
+        fbTerms, alpha, docCol = "docId")
+      // the weighted pass collects/spills eagerly, so the returned frame
+      // no longer references fb — safe to unpersist in finally
+      QueryEngine.searchWandWeighted(index, weights, k)
+    } finally fb.unpersist()
+  }
+
+  private def queryTf(index: BM25Index, queries: DataFrame): DataFrame =
+    queries.select(col("qid"),
+      explode(Tokenizer.tokens(col("query"), index.tokenPattern, index.stem))
+        .as("term"))
+      .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+
+  /** [[searchIndexed]] for indexes built WITHOUT stored doc vectors: the
+    * relevance model re-tokenizes the feedback docs out of `corpus`
+    * (docId, content — the same frame the index was built from) through a
+    * bounded semi-join. Exact and one-pass, but the semi-join reads the
+    * corpus table once per batch — prefer building with doc vectors.
+    */
+  def searchIndexedRetokenize(index: BM25Index, corpus: DataFrame,
+                              queries: DataFrame, k: Int, fbDocs: Int = 10,
+                              fbTerms: Int = 10, alpha: Double = 0.5): DataFrame = {
     require(fbDocs > 0, "fbDocs must be positive")
     val fb = QueryEngine.searchWand(index, queries, fbDocs)
       .select(col("qid"), col("docId"), col("score"))
@@ -116,12 +205,8 @@ object Rm3 {
       try {
         val docTf = toks.groupBy("docId", "term").agg(count(lit(1)).as("tf"))
         val dlf = toks.groupBy("docId").agg(count(lit(1)).as("dl"))
-        val qtf = queries.select(col("qid"),
-          explode(Tokenizer.tokens(col("query"), index.tokenPattern, index.stem))
-            .as("term"))
-          .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
-        val weights = expandWeights(fb, docTf, dlf, qtf, fbTerms, alpha,
-          docCol = "docId")
+        val weights = expandWeights(fb, docTf, dlf, queryTf(index, queries),
+          fbTerms, alpha, docCol = "docId")
         // the weighted pass collects/spills eagerly, so the returned frame
         // no longer references fb/toks — safe to unpersist in finally
         QueryEngine.searchWandWeighted(index, weights, k)

@@ -68,7 +68,7 @@ class Rm3Spec extends SparkTestBase {
     val idx = new BM25Index(spark, indexDir)
     val base = resultsByQid(QueryEngine.searchWand(idx, queriesDf, 10))
     val rm3 = resultsByQid( // via the facade — same code path as Rm3.searchIndexed
-      graft.Graft.searchRm3(idx, corpusDf, queriesDf, 10, fbDocs = 5, fbTerms = 8,
+      graft.Graft.searchRm3(idx, queriesDf, 10, fbDocs = 5, fbTerms = 8,
         alpha = 1.0))
     assert(rm3.keySet == base.keySet)
     for (qid <- base.keySet) {
@@ -101,10 +101,44 @@ class Rm3Spec extends SparkTestBase {
     assert(base("q1").map(_._1) == Seq("d1"), s"pass-1: ${base("q1")}")
 
     val rm3 = resultsByQid(
-      Rm3.searchIndexed(idx, docs, q, 5, fbDocs = 1, fbTerms = 2, alpha = 0.5))
+      Rm3.searchIndexed(idx, q, 5, fbDocs = 1, fbTerms = 2, alpha = 0.5))
     val got = rm3("q1").map(_._1)
     assert(got.contains("d2"), s"expansion did not recall d2: $got")
     assert(got.head == "d1", s"original match must stay on top: $got")
+  }
+
+  test("stored doc vectors reproduce the retokenize relevance model exactly") {
+    val idx = new BM25Index(spark, indexDir)
+    assert(idx.hasDocVectors)
+    val stored = resultsByQid(
+      Rm3.searchIndexed(idx, queriesDf, 10, fbDocs = 5, fbTerms = 8, alpha = 0.5))
+    val retok = resultsByQid(
+      Rm3.searchIndexedRetokenize(idx, corpusDf, queriesDf, 10,
+        fbDocs = 5, fbTerms = 8, alpha = 0.5))
+    assert(stored.keySet == retok.keySet)
+    for (qid <- retok.keySet) {
+      assert(stored(qid).map(_._1) == retok(qid).map(_._1), s"$qid docs differ")
+      stored(qid).zip(retok(qid)).foreach { case ((d, gs), (_, ws)) =>
+        assert(math.abs(gs - ws) < 1e-9, s"$qid $d: $gs vs $ws")
+      }
+    }
+  }
+
+  test("docvec fetch is pruned: salt partition filter + docIntId pushdown, no corpus scan") {
+    import spark.implicits._
+    val idx = new BM25Index(spark, indexDir)
+    val fbIds = corpusDf.select(col("docId")).limit(7)
+    val (docTf, _) = Rm3.feedbackVectors(idx, fbIds)
+    val plan = docTf.queryExecution.executedPlan.toString
+    // partition pruning on the salt dirs reached the scan
+    assert(plan.contains("PartitionFilters") && plan.contains("salt"),
+      s"no salt partition filter in:\n$plan")
+    // the docIntId In-filter is pushed to the parquet row-group stats
+    assert(plan.contains("PushedFilters: [In(docIntId"),
+      s"docIntId filter not pushed in:\n$plan")
+    // nothing in the fetch reads the corpus (only index tables appear)
+    assert(!plan.contains("graft-rm3idx-corpus") && !plan.contains("content"),
+      s"corpus scan leaked into the docvec fetch:\n$plan")
   }
 
   test("searchWandWeighted with integer qtf weights matches the text path") {
