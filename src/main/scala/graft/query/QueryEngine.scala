@@ -234,9 +234,18 @@ object QueryEngine {
     */
   private def searchExactImpl(index: BM25Index, queries: DataFrame, k: Int,
                               docFilter: Option[Column],
-                              tryBroadcastFilter: Boolean): DataFrame = {
+                              tryBroadcastFilter: Boolean): DataFrame =
+    searchExactTerms(index, queryTerms(index, queries), k, docFilter,
+      tryBroadcastFilter)
+
+  /** Exact path over pre-tokenized weighted terms (qid, term, qtf) — the
+    * declarative twin shared by the text entry point and the weighted
+    * path's over-bound filter fallback.
+    */
+  private def searchExactTerms(index: BM25Index, qt: DataFrame, k: Int,
+                               docFilter: Option[Column],
+                               tryBroadcastFilter: Boolean): DataFrame = {
     if (index.numDocs == 0) return emptyResult(index.spark)
-    val qt = queryTerms(index, queries)
     // ONE job collects the distinct term set AND the distinct-qid count
     // (the finish-join row bound) — previously a separate queries.count()
     // job ran per call (searchWand's limit-collect lesson, ported)
@@ -367,16 +376,15 @@ object QueryEngine {
     * semi-join path (exact and distributed at any selectivity) — with the
     * broadcast retry suppressed, since this call just proved it over-bound.
     */
-  private def resolveDocFilter(index: BM25Index, queries: DataFrame, k: Int,
-                               docFilter: Option[Column])
+  private def resolveDocFilter(index: BM25Index, docFilter: Option[Column],
+                               overBoundFallback: => DataFrame)
       : Either[DataFrame, Option[org.apache.spark.broadcast.Broadcast[Array[Long]]]] =
     docFilter match {
       case None => Right(None)
       case Some(f) => collectAllowed(index, f) match {
         case Some(arr) if arr.isEmpty => Left(emptyResult(index.spark))
         case Some(arr) => Right(Some(index.spark.sparkContext.broadcast(arr)))
-        case None =>
-          Left(searchExactImpl(index, queries, k, docFilter, tryBroadcastFilter = false))
+        case None => Left(overBoundFallback)
       }
     }
 
@@ -410,18 +418,41 @@ object QueryEngine {
         .filter(_._2.nonEmpty) // all-stopword/empty queries produce no rows
         .toArray
       if (qArr.isEmpty) return emptyResult(spark)
-      val allowedBc = resolveDocFilter(index, queries, k, docFilter) match {
+      val allowedBc = resolveDocFilter(index, docFilter,
+        searchExactImpl(index, queries, k, docFilter, tryBroadcastFilter = false)) match {
         case Left(terminal) => return terminal
         case Right(bc) => bc
       }
-      val (partials, _) = wandPartialsWithHandle(index, qArr, k, allowedBc)
-      return finishTopKIdx(index, partials, k, qArr.map(_._1))
+      val (partials, bq) = wandPartialsWithHandle(index, qArr, k, allowedBc)
+      val finished = finishTopKIdx(index, partials, k, qArr.map(_._1))
+      return allowedBc match {
+        case Some(bc) => finishEagerDestroy(index, finished, Seq(bc, bq))
+        case None => finished
+      }
     }
-    val allowedBc = resolveDocFilter(index, queries, k, docFilter) match {
+    val allowedBc = resolveDocFilter(index, docFilter,
+      searchExactImpl(index, queries, k, docFilter, tryBroadcastFilter = false)) match {
       case Left(terminal) => return terminal
       case Right(bc) => bc
     }
     searchGroupedChunked(index, groupedQueryTerms(index, queries), k, allowedBc)
+  }
+
+  /** Eagerly materialize a small-batch finish into the chunk spill dir and
+    * destroy the broadcasts it referenced. Used by the FILTERED small-batch
+    * paths only: the plain path stays fully lazy, but an allowed-set
+    * broadcast is up to ~16 MiB per call — relying on ContextCleaner GC
+    * would pin them across a long-lived session of repeated filtered
+    * queries. Result size is bounded by nQueries × k.
+    */
+  private def finishEagerDestroy(index: BM25Index, finished: DataFrame,
+      toDestroy: Seq[org.apache.spark.broadcast.Broadcast[_]]): DataFrame = {
+    val spark = index.spark
+    val dir = s"${chunkSpillRoot(index)}/${java.util.UUID.randomUUID()}"
+    graft.util.TempFs.registerForCleanup(spark, dir)
+    finished.write.parquet(dir)
+    toDestroy.foreach(_.destroy())
+    spark.read.parquet(dir)
   }
 
   /** Large batch: count once, then stream partition-sized chunks through
@@ -466,29 +497,49 @@ object QueryEngine {
     * drop valid results under WAND while TAAT stayed exact). Scoring is
     * Σ weight × impact through the same WAND/TAAT kernels and finish as
     * [[searchWand]]; terms absent from the index contribute 0 (OOV
-    * semantics unchanged).
+    * semantics unchanged). `docFilter` composes exactly as in
+    * [[searchWand]] (broadcast allowed set at kernel insertion; over-bound
+    * filters fall back to the declarative semi-join path over the same
+    * weighted terms) — so RM3/boosted queries can run within a doc subset.
     */
-  def searchWandWeighted(index: BM25Index, weighted: DataFrame, k: Int): DataFrame = {
+  def searchWandWeighted(index: BM25Index, weighted: DataFrame, k: Int,
+                         docFilter: Option[Column] = None): DataFrame = {
     val spark = index.spark
     if (index.numDocs == 0) return emptyResult(spark)
-    val grouped = weighted
+    val wt = weighted.select(col("qid"), col("term").cast("string").as("term"),
+      col("qtf").cast("double").as("qtf"))
+    val grouped = wt
       .groupBy("qid")
-      .agg(collect_list(struct(col("term").cast("string").as("term"),
-        col("qtf").cast("double").as("qtf"))).as("ts"))
+      .agg(collect_list(struct(col("term"), col("qtf"))).as("ts"))
     val chunkRows = wandQueryChunkRows(spark)
     val head = grouped.limit(chunkRows + 1).collect()
     if (head.isEmpty) return emptyResult(spark)
+    // over-bound filters score through the SAME weighted terms declaratively
+    def exactFallback =
+      searchExactTerms(index, wt, k, docFilter, tryBroadcastFilter = false)
     if (head.length <= chunkRows) {
       val qArr = head.map(decodeGrouped).filter(_._2.nonEmpty)
       if (qArr.isEmpty) return emptyResult(spark)
-      val (partials, _) = wandPartialsWithHandle(index, qArr, k, None)
-      return finishTopKIdx(index, partials, k, qArr.map(_._1))
+      val allowedBc = resolveDocFilter(index, docFilter, exactFallback) match {
+        case Left(terminal) => return terminal
+        case Right(bc) => bc
+      }
+      val (partials, bq) = wandPartialsWithHandle(index, qArr, k, allowedBc)
+      val finished = finishTopKIdx(index, partials, k, qArr.map(_._1))
+      return allowedBc match {
+        case Some(bc) => finishEagerDestroy(index, finished, Seq(bc, bq))
+        case None => finished
+      }
+    }
+    val allowedBc = resolveDocFilter(index, docFilter, exactFallback) match {
+      case Left(terminal) => return terminal
+      case Right(bc) => bc
     }
     // over-chunk: the probe above already paid one full aggregation of
     // `grouped`; persist so the count and chunk stream inside reuse it
     // (the chunk jobs all run eagerly in there, so the unpersist is safe)
     grouped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try searchGroupedChunked(index, grouped, k, None)
+    try searchGroupedChunked(index, grouped, k, allowedBc)
     finally grouped.unpersist()
   }
 
@@ -846,6 +897,8 @@ object Wand {
       byTerm.get(t).map(run => new Cursor(qtf, run))
     }
     if (cs.isEmpty) return
+    // hoisted: the common unfiltered path never re-tests allowed per pivot
+    val noFilter = allowed == null
     val k = heap.docIds.length // buffer capacity == the aggregator's k
     var live = 0
 
@@ -887,7 +940,7 @@ object Wand {
         while (i < live && cs(i).curDoc == pivotDoc) { blockUb += cs(i).curBlockUb; i += 1 }
         val onPivot = i
         if (blockUb > threshold &&
-            (allowed == null ||
+            (noFilter ||
               java.util.Arrays.binarySearch(allowed, pivotDoc) >= 0)) {
           var score = 0.0
           i = 0
@@ -965,17 +1018,28 @@ object Wand {
         ti += 1
       }
       if (nTouched == 0) return
-      // doc-filter membership is tested per TOUCHED doc (not per posting):
-      // accumulation for disallowed docs is wasted FMAs, but the test in
-      // the posting loop would cost more than it saves
       val saltBase = salt.toLong << saltShift
       var i = 0
-      while (i < nTouched) {
-        val off = touched(i)
-        val doc = saltBase | off
-        if (allowed == null || java.util.Arrays.binarySearch(allowed, doc) >= 0)
-          agg.insert(heap, doc, acc(off))
-        i += 1
+      if (allowed == null) {
+        // specialized no-filter loop: the common (unfiltered) selection
+        // pass carries no per-doc branch or binarySearch call at all —
+        // keeping the filtered-search feature free for ordinary queries
+        while (i < nTouched) {
+          val off = touched(i)
+          agg.insert(heap, saltBase | off, acc(off))
+          i += 1
+        }
+      } else {
+        // doc-filter membership is tested per TOUCHED doc (not per
+        // posting): accumulation for disallowed docs is wasted FMAs, but
+        // the test in the posting loop would cost more than it saves
+        while (i < nTouched) {
+          val off = touched(i)
+          val doc = saltBase | off
+          if (java.util.Arrays.binarySearch(allowed, doc) >= 0)
+            agg.insert(heap, doc, acc(off))
+          i += 1
+        }
       }
     }
   }

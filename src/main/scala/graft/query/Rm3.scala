@@ -158,12 +158,17 @@ object Rm3 {
     * before returning (the weighted pass materializes eagerly). Requires an
     * index built with `storeDocVectors` (the default); for legacy indexes
     * without doc vectors use [[searchIndexedRetokenize]].
+    *
+    * `docFilter` applies to BOTH passes (Lucene filter+feedback semantics:
+    * the relevance model is estimated from allowed docs only, and the
+    * expanded query ranks within the allowed set).
     */
   def searchIndexed(index: BM25Index, queries: DataFrame,
                     k: Int, fbDocs: Int = 10, fbTerms: Int = 10,
-                    alpha: Double = 0.5): DataFrame = {
+                    alpha: Double = 0.5,
+                    docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(fbDocs > 0, "fbDocs must be positive")
-    val fb = QueryEngine.searchWand(index, queries, fbDocs)
+    val fb = QueryEngine.searchWand(index, queries, fbDocs, docFilter)
       .select(col("qid"), col("docId"), col("score"))
     fb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -172,7 +177,7 @@ object Rm3 {
         fbTerms, alpha, docCol = "docId")
       // the weighted pass collects/spills eagerly, so the returned frame
       // no longer references fb — safe to unpersist in finally
-      QueryEngine.searchWandWeighted(index, weights, k)
+      QueryEngine.searchWandWeighted(index, weights, k, docFilter)
     } finally fb.unpersist()
   }
 

@@ -115,6 +115,65 @@ class FilteredSearchSpec extends SparkTestBase {
       truth)
   }
 
+  // ---- weighted-path filter composition ----------------------------------
+
+  /** Integer-qtf weighted twin of the text queries: the weighted kernel
+    * path must agree with the text path under the same filter.
+    */
+  private def weightedQueries(idx: BM25Index) =
+    queriesDf
+      .select(col("qid"),
+        explode(graft.tokenize.Tokenizer.tokens(col("query"),
+          idx.tokenPattern, idx.stem)).as("term"))
+      .groupBy("qid", "term").agg(count(lit(1)).cast("double").as("qtf"))
+
+  test("filtered weighted search matches the derived truth") {
+    val idx = new BM25Index(spark, indexDir)
+    checkEqual(
+      collectResults(QueryEngine.searchWandWeighted(idx, weightedQueries(idx),
+        k, Some(pred))),
+      derivedTruth(idx, allowedSet(idx)))
+  }
+
+  test("filtered weighted over-bound fallback agrees") {
+    val idx = new BM25Index(spark, indexDir)
+    spark.conf.set("spark.graft.filterMaxBroadcastDocs", "1")
+    try checkEqual(
+      collectResults(QueryEngine.searchWandWeighted(idx, weightedQueries(idx),
+        k, Some(pred))),
+      derivedTruth(idx, allowedSet(idx)))
+    finally spark.conf.unset("spark.graft.filterMaxBroadcastDocs")
+  }
+
+  test("filtered RM3 equals the hand-composed filtered two-pass pipeline") {
+    val idx = new BM25Index(spark, indexDir)
+    val got = collectResults(
+      Rm3.searchIndexed(idx, queriesDf, k, fbDocs = 5, fbTerms = 8,
+        alpha = 0.5, docFilter = Some(pred)))
+    // every result doc must be allowed
+    val allowed = allowedSet(idx)
+    got.values.flatten.foreach { case (d, _) =>
+      assert(allowed(d), s"disallowed doc $d in filtered RM3 output")
+    }
+    // compose the same two passes by hand: filtered pass-1 feedback →
+    // expandWeights over stored vectors → filtered weighted pass-2
+    import spark.implicits._
+    val fb = QueryEngine.searchWand(idx, queriesDf, 5, Some(pred))
+      .select(col("qid"), col("docId"), col("score"))
+      .persist()
+    val (docTf, dl) = Rm3.feedbackVectors(idx, fb.select("docId"))
+    val qtf = queriesDf.select(col("qid"),
+      explode(graft.tokenize.Tokenizer.tokens(col("query"),
+        idx.tokenPattern, idx.stem)).as("term"))
+      .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+    val weights = Rm3.expandWeights(fb, docTf, dl, qtf, fbTerms = 8,
+      alpha = 0.5, docCol = "docId")
+    val want = collectResults(
+      QueryEngine.searchWandWeighted(idx, weights, k, Some(pred)))
+    fb.unpersist()
+    checkEqual(got, want)
+  }
+
   test("filter selecting no docs returns an empty result with the contract schema") {
     val idx = new BM25Index(spark, indexDir)
     val res = QueryEngine.searchWand(idx, queriesDf, k, Some(lit(false)))
