@@ -39,6 +39,12 @@ object Graft {
       report: RunReport,
       reportPath: Option[String])
 
+  /** BM25+RM3 retrieval-mode knob for [[run]] (Anserini's defaults:
+    * fbDocs=10, fbTerms=10, originalQueryWeight=0.5).
+    */
+  final case class Rm3Params(fbDocs: Int = 10, fbTerms: Int = 10,
+                             alpha: Double = 0.5)
+
   def buildIndex(spark: SparkSession, corpus: DataFrame, indexDir: String,
                  cfg: IndexBuilder.Config = IndexBuilder.Config()): BM25Index = {
     IndexBuilder.build(spark, corpus, indexDir, cfg)
@@ -67,12 +73,14 @@ object Graft {
     * those docs — no corpus scan), and the α-interpolated weighted query
     * runs pass 2. See [[graft.query.Rm3]] for the math and scale shape;
     * for a legacy index without doc vectors use
-    * [[graft.query.Rm3.searchIndexedRetokenize]].
+    * [[graft.query.Rm3.searchIndexedRetokenize]]. `docFilter` restricts
+    * BOTH passes (feedback docs and final ranking) to the allowed subset.
     */
   def searchRm3(index: BM25Index, queries: DataFrame,
                 k: Int = 1000, fbDocs: Int = 10, fbTerms: Int = 10,
-                alpha: Double = 0.5): DataFrame =
-    query.Rm3.searchIndexed(index, queries, k, fbDocs, fbTerms, alpha)
+                alpha: Double = 0.5,
+                docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    query.Rm3.searchIndexed(index, queries, k, fbDocs, fbTerms, alpha, docFilter)
 
   def evaluate(results: DataFrame, qrels: DataFrame,
                cutoffs: Seq[Int] = eval.TrecEval.DefaultCutoffs): DataFrame =
@@ -162,6 +170,12 @@ object Graft {
     * one session accumulates nothing. The returned `results` frame stays
     * valid but recomputes retrieval if re-consumed; persist it yourself if
     * you iterate over it repeatedly.
+    *
+    * Retrieval mode: pass `rm3 = Some(Rm3Params(...))` to retrieve with
+    * BM25+RM3 pseudo-relevance feedback instead of plain BM25; the report's
+    * model name then defaults to "graft-rm3" (override via `model`), so
+    * `bench.Analysis` pivots compare BM25 vs BM25+RM3 rows the way the
+    * reference's analysis compares engines.
     */
   def run(spark: SparkSession,
           corpus: DataFrame, queries: DataFrame, qrels: DataFrame,
@@ -169,10 +183,15 @@ object Graft {
           cfg: IndexBuilder.Config = IndexBuilder.Config(),
           k: Int = 1000,
           cutoffs: Seq[Int] = eval.TrecEval.DefaultCutoffs,
-          model: String = "graft-spark",
+          model: String = "",
           dataset: String = "synthetic",
           resultDir: Option[String] = None,
-          filterQueriesByQrels: Boolean = true): Run = {
+          filterQueriesByQrels: Boolean = true,
+          rm3: Option[Rm3Params] = None): Run = {
+    val modelName =
+      if (model.nonEmpty) model
+      else if (rm3.isDefined) "graft-rm3"
+      else "graft-spark"
     val timer = new Timer()
 
     timer.start("index") // includes tokenization (combine_results folds it)
@@ -193,7 +212,11 @@ object Graft {
     val numQueries = evalQueries.count()
 
     timer.start("query")
-    val results = search(index, evalQueries, k)
+    val results = (rm3 match {
+        case None => search(index, evalQueries, k)
+        case Some(p) =>
+          searchRm3(index, evalQueries, k, p.fbDocs, p.fbTerms, p.alpha)
+      })
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nHits = results.count() // materialize inside the timed span
     timer.stop("query")
@@ -212,7 +235,7 @@ object Graft {
 
     val rt = Runtime.getRuntime
     val report = RunReport(
-      model = model, dataset = dataset,
+      model = modelName, dataset = dataset,
       stemmer = index.props.getOrElse("stemmer", "none"),
       tokenizer = index.tokenPattern,
       method = index.params.method,

@@ -119,6 +119,35 @@ class GraftSpec extends SparkTestBase {
     assert(ndcg1 == 1.0)
   }
 
+  test("run: BM25 and BM25+RM3 reports from one corpus flow through one analysis") {
+    import spark.implicits._
+    val corpus = spark.createDataset(SynthCorpus.gen(4, 25)).toDF()
+      .selectExpr("concat(repo, ':', path, '@', commit) as docId", "content")
+    val queries = SynthCorpus.queries.toDF("qid", "query")
+    val idxDir = tmpDir("graft-rm3mode-idx")
+    val resultDir = tmpDir("graft-rm3mode-results")
+    val qrels = Graft.run(spark, corpus, queries,
+      Seq.empty[(String, String, Int)].toDF("qid", "docId", "grade"),
+      idxDir, k = 5)
+      .results.where($"rank" === 1).selectExpr("qid", "docId", "1 as grade")
+      .persist()
+    val plain = Graft.run(spark, corpus, queries, qrels, idxDir, k = 5,
+      cutoffs = Seq(1, 10), dataset = "synth-200", resultDir = Some(resultDir))
+    val rm3 = Graft.run(spark, corpus, queries, qrels, idxDir, k = 5,
+      cutoffs = Seq(1, 10), dataset = "synth-200", resultDir = Some(resultDir),
+      rm3 = Some(Graft.Rm3Params(fbDocs = 3, fbTerms = 8, alpha = 0.5)))
+    qrels.unpersist()
+    assert(plain.report.model == "graft-spark")
+    assert(rm3.report.model == "graft-rm3")
+    assert(rm3.results.count() > 0)
+    // both rows land in one flattened analysis table, pivotable by model
+    val flat = Analysis.flattenRuns(Analysis.loadRuns(spark, resultDir))
+    val byModel = flat.collect().map(r =>
+      r.getAs[String]("model") -> r.getAs[Double]("ndcg@10")).toMap
+    assert(byModel.keySet == Set("graft-spark", "graft-rm3"), s"$byModel")
+    assert(byModel.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
   test("run: qrels-filtered query set (GenericDataLoader parity)") {
     import spark.implicits._
     val corpus = spark.createDataset(SynthCorpus.gen(2, 10)).toDF()
