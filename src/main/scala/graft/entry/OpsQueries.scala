@@ -87,17 +87,50 @@ object OpsQueries {
        |  (least(d.doc_id, coalesce(c.mn, d.doc_id)) = d.doc_id) AS keep
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin
 
-  /** MinHash+LSH near-dups (no SQL oracle: xxhash64 signatures). The
-    * ScalaTest suite checks recall against exact Jaccard.
+  /** MinHash+LSH near-dups (no SQL oracle: xxhash64 signatures — DuckDB
+    * cannot recompute them). Every row therefore carries `twin_ok`: its
+    * est_jaccard recomputed through the INTERPRETED TwinChecks pipeline
+    * (shingle → signature → agreement) must equal the native codegen
+    * kernels' value, so the driver's rows-only check verifies semantics,
+    * not just cardinality. The ScalaTest suite additionally checks recall
+    * against exact Jaccard.
     */
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.minhashLsh(docs(spark, sfDir), asciiToks, "doc_id",
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(docs(spark, sfDir), asciiToks, "doc_id",
       n = 3, m = 32, bands = 8, threshold = 0.5)
+    val sigTwin = udf((toks: Seq[String]) =>
+      graft.ops.TwinChecks.minhashSig(graft.ops.TwinChecks.shingles(toks, 3), 32))
+    val agree = udf((a: Seq[Long], b: Seq[Long]) =>
+      if (a.size != b.size) -1 else a.zip(b).count(t => t._1 == t._2))
+    val twin = docs(spark, sfDir)
+      .select(col("doc_id").as("id"), sigTwin(asciiToks).as("tsig"))
+    pairs
+      .join(twin.select(col("id").as("id_a"), col("tsig").as("tsa")), "id_a")
+      .join(twin.select(col("id").as("id_b"), col("tsig").as("tsb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        (col("est_jaccard") ===
+          round(agree(col("tsa"), col("tsb")).cast("double") / 32.0, 6))
+          .as("twin_ok"))
       .orderBy("id_a", "id_b")
+  }
 
-  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.simhashNearDups(docs(spark, sfDir), asciiToks, "doc_id", maxDist = 3)
+  /** SimHash near-dups: same twin_ok convention — the Hamming distance is
+    * recomputed from TwinChecks.simhash signatures in-row.
+    */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.simhashNearDups(docs(spark, sfDir), asciiToks, "doc_id",
+      maxDist = 3)
+    val shTwin = udf((toks: Seq[String]) => graft.ops.TwinChecks.simhash(toks))
+    val twin = docs(spark, sfDir)
+      .select(col("doc_id").as("id"), shTwin(asciiToks).as("tsh"))
+    pairs
+      .join(twin.select(col("id").as("id_a"), col("tsh").as("tsa")), "id_a")
+      .join(twin.select(col("id").as("id_b"), col("tsh").as("tsb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        (col("hamming") ===
+          bit_count(col("tsa").bitwiseXOR(col("tsb"))).cast("int")).as("twin_ok"))
       .orderBy("id_a", "id_b")
+  }
 
   /** nBits=4 (16 buckets) for the sf0.01-1 fixture sizes per the
     * Similarity.autoBits rule; real deployments size nBits from n.
@@ -268,15 +301,24 @@ object OpsQueries {
   val textFingerprintSql: String =
     "SELECT doc_id AS id, substr(md5(lower(text)), 1, 16) AS fp16 FROM documents"
 
-  /** Winnowing fingerprints (rows-only; scalar twin tested in ScalaTest).
-    * The raw `array<long>` column is collapsed to a scalar digest — the
-    * driver's pandas row compare cannot sort/hash numpy arrays (round-1
-    * crash), and a digest pins the same information.
+  /** Winnowing fingerprints (rows-only: the rolling-hash family has no SQL
+    * twin). The raw `array<long>` column is collapsed to a scalar digest —
+    * the driver's pandas row compare cannot sort/hash numpy arrays
+    * (round-1 crash), and a digest pins the same information. `twin_ok`
+    * recomputes the fingerprints through TwinChecks.winnowNaive (direct
+    * Horner-rule k-gram hashes — no rolling update) and asserts exact
+    * array equality in-row.
     */
-  def textWinnow(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.fingerprints(docs(spark, sfDir), "doc_id", "text")
+  def textWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val twinUdf = udf((s: String) => graft.ops.TwinChecks.winnowNaive(s, 8, 4))
+    TextAnalysis.fingerprints(d, "doc_id", "text")
+      .join(d.select(col("doc_id").as("id"),
+        twinUdf(lower(col("text"))).as("tw")), "id")
       .select(col("id"), size(col("fingerprints")).cast("long").as("n_fingerprints"),
-        xxhash64(to_json(col("fingerprints"))).as("fp_digest"))
+        xxhash64(to_json(col("fingerprints"))).as("fp_digest"),
+        (col("fingerprints") === col("tw")).as("twin_ok"))
+  }
 
   // ---- multimodal ---------------------------------------------------------
 

@@ -30,6 +30,9 @@ object TrecEval {
   /** @return (cutoff INT, ndcg, map, recall, p DOUBLE) — means over queries. */
   def evaluate(results: DataFrame, qrels: DataFrame,
                cutoffs: Seq[Int] = DefaultCutoffs, roundTo: Int = 5): DataFrame = {
+    // duplicates would mint duplicate dcg_$k/... aggregate column names and
+    // break the by-name reshape below; a duplicate cutoff adds nothing
+    val cuts = cutoffs.distinct
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("docId").asc)
     val cw = Window.partitionBy("qid").orderBy("rank")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -62,7 +65,7 @@ object TrecEval {
 
     // ONE pass over ranked computes dcg/hits/ap_num for EVERY cutoff
     // (conditional aggregation), one pass over ideal computes every idcg
-    val rankedCols = cutoffs.flatMap { k =>
+    val rankedCols = cuts.flatMap { k =>
       Seq(
         sum(when(col("rank") <= k, gain(col("grade")) * disc(col("rank"))))
           .as(s"dcg_$k"),
@@ -72,7 +75,7 @@ object TrecEval {
           .as(s"ap_$k"))
     }
     val rankedAgg = ranked.groupBy("qid").agg(rankedCols.head, rankedCols.tail: _*)
-    val idealCols = cutoffs.map { k =>
+    val idealCols = cuts.map { k =>
       sum(when(col("irank") <= k, gain(col("grade")) * disc(col("irank"))))
         .as(s"idcg_$k")
     }
@@ -87,7 +90,7 @@ object TrecEval {
     // cutoff-wise union-then-groupBy would re-execute `joined`'s whole
     // lineage once per cutoff; this plan is strictly linear: every input
     // is scanned exactly once no matter how many cutoffs are evaluated.
-    val meanCols = cutoffs.flatMap { k =>
+    val meanCols = cuts.flatMap { k =>
       Seq(
         round(avg(when(coalesce(col(s"idcg_$k"), lit(0.0)) > 0.0,
             coalesce(col(s"dcg_$k"), lit(0.0)) / col(s"idcg_$k"))
@@ -112,7 +115,7 @@ object TrecEval {
       StructField("p", DoubleType)))
     val out: Seq[org.apache.spark.sql.Row] =
       if (wide.isEmpty || wide.head.isNullAt(0)) Seq.empty // no evaluable queries
-      else cutoffs.sorted.map { k =>
+      else cuts.sorted.map { k =>
         val r0 = wide.head
         org.apache.spark.sql.Row(k,
           r0.getAs[Double](s"ndcg_$k"), r0.getAs[Double](s"ap_$k"),

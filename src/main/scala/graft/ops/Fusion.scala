@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   * multiple field indexes) into one ranking. The training-pipeline shape:
   * each retriever emits its top-k long-form run (qid, doc, rank) and the
   * fusion is a pure relational job over those bounded runs.
+  *
+  * PRECONDITION (both operators): each input run holds AT MOST ONE row per
+  * (qid, doc) — the natural shape of a ranked top-k run. Duplicate rows
+  * within one run are NOT deduped here and would inflate the RRF sum /
+  * CombMNZ agreement count as if extra runs had retrieved the doc; dedup
+  * per run (`dropDuplicates("qid", docCol)`) before fusing if a source can
+  * emit duplicates.
   */
 object Fusion {
 

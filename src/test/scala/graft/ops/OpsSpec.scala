@@ -439,4 +439,25 @@ class TrecEvalSpec extends SparkTestBase {
     assert(math.abs(m(3).getDouble(3) - 2.0 / 3) < 1e-5)
     assert(math.abs(m(3).getDouble(4) - 2.0 / 3) < 1e-5)
   }
+
+  test("no-oracle driver entries carry all-true twin_ok cross-checks") {
+    for (name <- Seq("dedup_minhash", "dedup_simhash", "text_winnow")) {
+      val df = graft.entry.OpsQueries.queries(name)(spark, "/root/testdata/sf0.001")
+      val rows = df.collect()
+      assert(rows.nonEmpty, s"$name returned no rows")
+      val bad = rows.filterNot(_.getAs[Boolean]("twin_ok"))
+      assert(bad.isEmpty, s"$name twin mismatch on ${bad.take(3).toSeq}")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("duplicate cutoffs collapse instead of minting duplicate columns") {
+    import spark.implicits._
+    val results = Seq(("q1", "d1", 2.0), ("q1", "d2", 1.0)).toDF("qid", "docId", "score")
+    val qrels = Seq(("q1", "d1", 1)).toDF("qid", "docId", "grade")
+    val m = graft.eval.TrecEval.evaluate(results, qrels, Seq(1, 1, 10, 10))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(m.keySet == Set(1, 10), s"cutoffs: ${m.keySet}")
+    assert(m(1) == 1.0)
+  }
 }
