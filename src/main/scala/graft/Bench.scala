@@ -106,23 +106,34 @@ object Bench {
       }
     }
 
-    // --- headline pass + driver-contract queries at the contract level.
+    // --- headline passes + driver-contract queries at the contract level.
     // Query depth k=1000: the reference's retrieval depth (its q/s tables
     // are all k=1000, benchmark/on_bm25s.py:299-303) — heap thresholds rise
     // slowly at this depth, so WAND prunes far less than at k=10.
     val spark = BenchCore.session(cpus)
     BenchCore.bm25Pass(spark, benchDocs / 20, 50, reps = 1) // JIT warmup
-    // headline measured as TWO single-rep passes INTERLEAVED around the
-    // per-entry suite, best-of kept — same discipline as the scaling legs:
-    // co-tenant slowdown waves last minutes, so back-to-back reps land in
-    // the same wave and min-of-reps buys nothing; samples minutes apart
-    // give one of them a chance at a clean window.
-    val (dps1, qps1, lats1) = BenchCore.bm25Pass(spark, benchDocs, 1200, reps = 1)
-    // secondary: small-k ad-hoc depth, for continuity with round-1 numbers
-    val (_, qpsK10, _) = BenchCore.bm25Pass(spark, benchDocs / 10, 1200, k = 10, reps = 1)
-    spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
-    val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
+    // headline measured as THREE single-rep passes INTERLEAVED with halves
+    // of the per-entry suite, best-of kept — same discipline as the scaling
+    // legs: co-tenant slowdown waves last minutes, so back-to-back reps
+    // land in the same wave; samples minutes apart give one of them a
+    // chance at a clean window. Each pass records its wall-clock start and
+    // its OWN p50/p99, so every per-pass tuple in the JSON is internally
+    // consistent and host waves are visible in the artifact itself; the
+    // headline dps/qps are explicitly best-of-pass maxima, p50/p99 those
+    // of the best-qps pass.
+    final case class Pass(tStartMs: Long, dps: Double, qps: Double,
+                          lats: Seq[Double])
+    val passes = scala.collection.mutable.ArrayBuffer.empty[Pass]
+    def headlinePass(): Unit = {
+      val t0 = System.currentTimeMillis()
+      val (d, q, l) = BenchCore.bm25Pass(spark, benchDocs, 1200, reps = 1)
+      passes += Pass(t0, d, q, l)
+    }
+    def runEntries(es: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] = {
+      // bm25Pass re-sizes shuffle partitions to the data; entries run at
+      // the contract level — restore it before each entry half
+      spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
+      es.map { case (name, fn) =>
         val (_, sec) = BenchCore.time {
           try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         }
@@ -130,11 +141,23 @@ object Bench {
         // between queries so timings stay independent of cache pressure
         spark.catalog.clearCache()
         name -> sec
+      }
     }
-    val (dps2, qps2, lats2) = BenchCore.bm25Pass(spark, benchDocs, 1200, reps = 1)
-    val dps = math.max(dps1, dps2)
-    val qps = math.max(qps1, qps2)
-    val lats = if (qps2 > qps1) lats2 else lats1
+    headlinePass()
+    // secondary: small-k ad-hoc depth, for continuity with round-1 numbers
+    val (_, qpsK10, _) = BenchCore.bm25Pass(spark, benchDocs / 10, 1200, k = 10, reps = 1)
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val (eFirst, eSecond) = entries.splitAt(entries.size / 2)
+    val results: Seq[(String, Double)] = {
+      val r1 = runEntries(eFirst)
+      headlinePass()
+      val r2 = runEntries(eSecond)
+      headlinePass()
+      r1 ++ r2
+    }
+    val dps = passes.map(_.dps).max
+    val qps = passes.map(_.qps).max
+    val lats = passes.maxBy(_.qps).lats
     spark.stop()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -151,10 +174,18 @@ object Bench {
     val effD = if (doScaling && legsOk && dLow > 0) (dHigh / dLow) / factor else -1.0
     val effQ = if (doScaling && legsOk && qLow > 0) (qHigh / qLow) / factor else -1.0
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
+    // per-pass tuples: wall-clock-stamped, internally consistent (dps, qps
+    // and latencies all from the SAME pass)
+    val passesJson = passes.map { p =>
+      s"""{"t_start_unix_s":${p.tStartMs / 1000},"index_dps":${f"${p.dps}%.1f"}""" +
+        s""","query_qps":${f"${p.qps}%.1f"},"p50_ms":${f"${pct(p.lats, 0.5) * 1000}%.1f"}""" +
+        s""","p99_ms":${f"${pct(p.lats, 0.99) * 1000}%.1f"}}"""
+    }.mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","bm25_bench_docs":$benchDocs,"k":1000,"index_dps":${f"$dps%.1f"}""" +
-      s""","rounds_index_dps":${arr(Seq(dps1, dps2))},"rounds_query_qps":${arr(Seq(qps1, qps2))}""" +
+      s""","rounds_index_dps":${arr(passes.map(_.dps).toSeq)},"rounds_query_qps":${arr(passes.map(_.qps).toSeq)}""" +
+      s""","passes":$passesJson""" +
       s""","query_qps":${f"$qps%.1f"},"query_qps_k10":${f"$qpsK10%.1f"}""" +
       s""","query_p50_ms":${f"${pct(lats, 0.5) * 1000}%.1f"},"query_p99_ms":${f"${pct(lats, 0.99) * 1000}%.1f"}""" +
       s""","scaling":{"docs":$scaleDocs,"cpus_low":$scaleLow,"cpus_high":$scaleHigh""" +
