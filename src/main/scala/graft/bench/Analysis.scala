@@ -86,6 +86,42 @@ object Analysis {
   def excludeModels(runs: DataFrame, removed: Seq[String]): DataFrame =
     runs.filter(!col("model").isInCollection(removed))
 
+  // ---- multicore grid (analysis/combine_multicore.py) -------------------
+
+  /** Complement of [[singleThreaded]]: the reference routes its
+    * multi-threaded runs to a separate results tree consumed by
+    * combine_multicore.py (loaded at combine_multicore.py:30-34); over a
+    * unified report store the same split is a filter.
+    */
+  def multiThreaded(runs: DataFrame): DataFrame =
+    runs.filter(coalesce(col("n_threads"), lit(1)) =!= 1)
+
+  /** Model-abbreviation projection (combine_multicore.py:17-23): rows whose
+    * model has no abbreviation keep their full name (the reference would
+    * KeyError there; unified stores carry engines it never abbreviated).
+    */
+  def abbreviateModels(runs: DataFrame, abbrev: Map[String, String]): DataFrame = {
+    val mapped = abbrev.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+      when(col("model") === k, lit(v)).otherwise(acc)
+    }
+    runs.withColumn("model", coalesce(mapped, col("model")))
+  }
+
+  /** combine_multicore.py's per-(model, dataset) aggregation: quality MEANS
+    * alongside throughput mean/std (combine_multicore.py:103-121) — the
+    * multicore grid keeps ndcg@10 / r@1000 in the same table where the
+    * single-thread pipeline tracks only throughput.
+    */
+  def aggregateWithQuality(runs: DataFrame): DataFrame =
+    runs.groupBy("model", "dataset")
+      .agg(
+        round(avg("ndcg@10"), 4).as("ndcg@10"),
+        round(avg("r@1000"), 4).as("r@1000"),
+        round(avg("qps"), 4).as("qps"),
+        round(coalesce(stddev_samp("qps"), lit(0.0)), 4).as("qps_std"),
+        round(avg("dps"), 4).as("dps"),
+        round(coalesce(stddev_samp("dps"), lit(0.0)), 4).as("dps_std"))
+
   /** groupBy(model, dataset).agg(mean, std) (combine_results.py:152-164). */
   def aggregate(runs: DataFrame): DataFrame =
     runs.groupBy("model", "dataset")

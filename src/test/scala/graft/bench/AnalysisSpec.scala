@@ -59,6 +59,38 @@ class AnalysisSpec extends SparkTestBase {
     assert(md.contains("| nfcorpus | 20.0 | 2.0 |"))
   }
 
+  test("multicore grid: thread filter, abbreviation, quality agg, ES-normalized pivot") {
+    import spark.implicits._
+    // combine_multicore.py shape: multi-thread runs with quality columns
+    val flat = Seq(
+      // model, dataset, n_threads, ndcg@10, r@1000, qps, dps
+      ("bm25s", "nfcorpus", 4, 0.32, 0.90, 40.0, 400.0),
+      ("bm25s", "nfcorpus", 4, 0.32, 0.90, 60.0, 600.0),
+      ("elastic-bm25", "nfcorpus", 4, 0.30, 0.88, 25.0, 100.0),
+      ("bm25s", "nfcorpus", 1, 0.32, 0.90, 10.0, 100.0) // single-thread: dropped
+    ).toDF("model", "dataset", "n_threads", "ndcg@10", "r@1000", "qps", "dps")
+    val multi = Analysis.multiThreaded(flat)
+    assert(multi.count() == 3)
+    val abbr = Analysis.abbreviateModels(multi,
+      Map("bm25s" -> "BM25S", "elastic-bm25" -> "ES"))
+    val agg = Analysis.aggregateWithQuality(abbr)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(agg.keySet == Set("BM25S", "ES"))
+    val b = agg("BM25S")
+    assert(b.getAs[Double]("qps") == 50.0 && b.getAs[Double]("dps") == 500.0)
+    assert(math.abs(b.getAs[Double]("qps_std") - 14.1421) < 1e-3) // std {40,60}
+    assert(b.getAs[Double]("ndcg@10") == 0.32)
+    // qps pivot normalized against the ES column (qps_df.div(qps_df["ES"]))
+    val models = Seq("BM25S", "ES")
+    val piv = Analysis.pivotMetric(
+      Analysis.aggregateWithQuality(abbr).withColumnRenamed("qps", "qps_m"),
+      "qps_m", models)
+    val norm = Analysis.normalizeBy(piv, "ES", models)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(norm("nfcorpus").getDouble(1) == 2.0) // BM25S = 50/25 × ES
+    assert(norm("nfcorpus").getDouble(2) == 1.0)
+  }
+
   test("comparisons grid: slice, rescale, multi-index pivot, row avg, latex") {
     import spark.implicits._
     // per-(config, dataset) scores, generate_comparisons.py input shape
