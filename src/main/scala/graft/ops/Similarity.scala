@@ -151,42 +151,63 @@ object Similarity {
               nCells: Int = 256, nProbe: Int = 8,
               roundTo: Int = 6): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = spark.createDataFrame(
-      ivfCentroids(corpus, nCells).map { case (cid, ce, n) => (cid, ce, n) })
+    val cents = centroidsDf(spark, ivfCentroids(corpus, nCells))
+    val assigned = assignCells(corpus, cents, roundTo)
+    scoreProbed(assigned, probeCells(queries, cents, nProbe, roundTo), k, roundTo)
+  }
+
+  private def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+                          cents: Seq[(Long, Seq[Double], Double)]): DataFrame =
+    spark.createDataFrame(cents.map { case (cid, ce, n) => (cid, ce, n) })
       .toDF("cid", "cent", "centNorm")
 
-    // argmax cell per vector: struct max orders by (sim, -cid) — ties to
-    // the smaller cid, mirroring the oracle's (sim DESC, cid ASC)
-    def cellSim(ve: Column, vnorm: Column): Column =
-      round(dotCol(ve, col("cent")) / (vnorm * col("centNorm")), roundTo)
-    val assigned = corpus
+  private def cellSim(ve: Column, vnorm: Column, roundTo: Int): Column =
+    round(dotCol(ve, col("cent")) / (vnorm * col("centNorm")), roundTo)
+
+  /** Voronoi assignment: argmax cell per vector — struct max orders by
+    * (sim, -cid), ties to the smaller cid, mirroring the oracle's
+    * (sim DESC, cid ASC). One broadcast pass, map-side partial argmax:
+    * the shuffle carries 1 row per vector.
+    */
+  private def assignCells(corpus: DataFrame, cents: DataFrame,
+                          roundTo: Int): DataFrame =
+    corpus
       .select(col("id"), toDouble(col("embedding")).as("ce"))
       .withColumn("cnorm", normCol(col("ce")))
       .crossJoin(broadcast(cents))
       .select(col("id"), col("ce"), col("cnorm"), col("cid"),
-        cellSim(col("ce"), col("cnorm")).as("csim"))
+        cellSim(col("ce"), col("cnorm"), roundTo).as("csim"))
       .groupBy("id")
       .agg(
         max(struct(col("csim"), (-col("cid")).as("ncid"))).as("best"),
         first(col("ce")).as("ce"), first(col("cnorm")).as("cnorm"))
       .select(col("id"), col("ce"), col("cnorm"), (-col("best.ncid")).as("cid"))
 
-    // top-nProbe cells per query via the same bounded heap as the finish
+  /** Top-nProbe cells per query via the same bounded heap as the finish:
+    * (qid, qe, qnorm, cid) — one row per probed cell.
+    */
+  private def probeCells(queries: DataFrame, cents: DataFrame, nProbe: Int,
+                         roundTo: Int): DataFrame = {
     val probeK = udaf(new TopKAggregator(nProbe), Encoders.product[ScoredDoc])
-    val probes = broadcast(queries
+    broadcast(queries
       .select(col("qid"), toDouble(col("embedding")).as("qe"))
       .withColumn("qnorm", normCol(col("qe")))
       .crossJoin(broadcast(cents))
       .select(col("qid"), col("qe"), col("qnorm"), col("cid"),
-        cellSim(col("qe"), col("qnorm")).as("csim"))
+        cellSim(col("qe"), col("qnorm"), roundTo).as("csim"))
       .groupBy("qid")
       .agg(probeK(col("cid"), col("csim")).as("cells"),
         first(col("qe")).as("qe"), first(col("qnorm")).as("qnorm"))
       .select(col("qid"), col("qe"), col("qnorm"),
         explode(col("cells.docId")).as("cid")))
+  }
 
-    // candidates = vectors in probed cells only; cells are disjoint, so no
-    // candidate dedup is needed (unlike multi-probe LSH)
+  /** Candidates = vectors in probed cells only (cells are disjoint, so no
+    * candidate dedup is needed, unlike multi-probe LSH), bounded-heap
+    * finish.
+    */
+  private def scoreProbed(assigned: DataFrame, probes: DataFrame, k: Int,
+                          roundTo: Int): DataFrame = {
     val scored = assigned.join(probes, "cid")
       .select(col("qid"), col("id"),
         round(dotCol(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")), roundTo)
@@ -198,6 +219,70 @@ object Similarity {
       .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
       .select(col("qid"), col("hit.docId").as("id"), col("hit.score").as("sim"),
         (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  // ---- persisted IVF index (storable artifact, like the BM25 index) ------
+
+  /** Handle over a persisted IVF index: a tiny centroid table (driver-held
+    * on open, as any IVF ships its centroids) + cell-partitioned inverted
+    * lists, with params pinned in the store's properties so query-time
+    * rounding/probing can't drift from the build.
+    */
+  final class IvfIndex(val spark: org.apache.spark.sql.SparkSession,
+                       val indexDir: String) {
+    private val store = new graft.store.IcebergLikeStore(indexDir)
+    require(store.isComplete, s"IVF index at $indexDir is incomplete")
+    val props: Map[String, String] = store.readProperties()
+    val nCells: Int = props("nCells").toInt
+    val roundTo: Int = props("roundTo").toInt
+    /** (cid, centroid, norm) — ≤ nCells rows, one bounded collect. */
+    lazy val centroids: Seq[(Long, Seq[Double], Double)] =
+      spark.read.parquet(s"$indexDir/centroids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    def cells: DataFrame = spark.read.parquet(s"$indexDir/cells")
+  }
+
+  /** Build (or no-op over) a persisted IVF index at `indexDir`: centroids
+    * via [[ivfCentroids]], assignment written PARTITIONED BY cell id — the
+    * layout that turns a probe into partition pruning instead of a scan.
+    */
+  def ivfBuild(corpus: DataFrame, indexDir: String, nCells: Int = 256,
+               roundTo: Int = 6): IvfIndex = {
+    val spark = corpus.sparkSession
+    val store = new graft.store.IcebergLikeStore(indexDir)
+    if (!store.isComplete) {
+      val cents = ivfCentroids(corpus, nCells)
+      centroidsDf(spark, cents).coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/centroids")
+      assignCells(corpus, centroidsDf(spark, cents), roundTo)
+        // one writer task per cell value; cells ≈ uniform by construction
+        .repartition(col("cid")).sortWithinPartitions("cid", "id")
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$indexDir/cells")
+      store.writeProperties(Map(
+        "engine" -> "graft-ivf", "nCells" -> nCells.toString,
+        "roundTo" -> roundTo.toString))
+    }
+    new IvfIndex(spark, indexDir)
+  }
+
+  def ivfOpen(spark: org.apache.spark.sql.SparkSession, indexDir: String): IvfIndex =
+    new IvfIndex(spark, indexDir)
+
+  /** Query a persisted IVF index: the probed cell ids (≤ nQueries × nProbe,
+    * collected bounded) prune the cell PARTITIONS before the candidate
+    * join — at corpus scale a probe reads nProbe/nCells of the stored
+    * lists, never the whole table.
+    */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int,
+                nProbe: Int = 8): DataFrame = {
+    val cents = centroidsDf(index.spark, index.centroids)
+    val probes = probeCells(queries, cents, nProbe, index.roundTo)
+    // bounded collect (≤ nCells distinct values by construction); the probe
+    // table itself is a broadcast-small frame, so recomputing it for the
+    // candidate join is cheaper than pinning a cache entry per call
+    val cids = probes.select("cid").distinct().collect().map(_.getLong(0)).toSeq
+    val pruned = index.cells.where(col("cid").isInCollection(cids))
+    scoreProbed(pruned, probes, k, index.roundTo)
   }
 
   /** LSH-bucketed approximate top-k: same output shape as bruteForceTopK.

@@ -306,6 +306,33 @@ class SimilaritySpec extends SparkTestBase {
       s"no aggregate finish in ivfTopK:\n$plan")
   }
 
+  test("persisted IVF index: save/load round-trip + cell partition pruning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val data = clustered(104, 16)
+    val corpus = data.drop(4).toDF("id", "embedding")
+    val queries = data.take(4).toDF("qid", "embedding")
+    val dir = tmpDir("graft-ivfidx")
+    Similarity.ivfBuild(corpus, dir, nCells = 8)
+    val idx = Similarity.ivfOpen(spark, dir) // reopen from disk
+    assert(idx.nCells == 8 && idx.centroids.size == 8)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    val got = Similarity.ivfSearch(idx, queries, k = 10, nProbe = 3)
+    val want = Similarity.ivfTopK(corpus, queries, k = 10, nCells = 8, nProbe = 3)
+    assert(asMap(got) == asMap(want), "persisted search != in-memory ivfTopK")
+    // the probed cids prune the stored cell PARTITIONS (no full-table scan)
+    val plan = Similarity.ivfSearch(idx, queries, k = 10, nProbe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"no cid partition pruning in:\n$plan")
+    // a second build over the same dir is a no-op (properties unchanged)
+    val before = new graft.store.IcebergLikeStore(dir).readProperties()
+    Similarity.ivfBuild(corpus, dir, nCells = 8)
+    assert(new graft.store.IcebergLikeStore(dir).readProperties() == before)
+  }
+
   test("ivf centroids are the md5-smallest ids (oracle-reproducible rule)") {
     import spark.implicits._
     val data = clustered(40, 8)
