@@ -425,6 +425,70 @@ object DriverQueries {
 
   val bm25TopkRm3Sql: String = rm3TopkSqlFor(luceneContribSql, luceneContribSqlW)
 
+  /** More-Like-This (Lucene MLT semantics, SURVEY.md Q13): seed DOCUMENTS
+    * instead of query text — each seed's top-25 terms by tf·idf (lucene
+    * idf, exact global df) form a weighted query scored like any other.
+    * Weights rounded 6 dp before the rank-sensitive term cut (repo
+    * convention); seeds rank themselves first by construction (kept — a
+    * sanity signal; exclude via docFilter when unwanted). The engine twin
+    * over stored doc vectors is `bm25_mlt_indexed` (OpsQueries).
+    */
+  private[entry] val mltSeeds: Seq[Long] = Seq(3L, 10L, 17L)
+  private[entry] val mltMaxTerms = 25
+
+  def bm25Mlt(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = composedInputs(spark, sfDir)
+    import spark.implicits._
+    val seeds = mltSeeds.map(d => (s"m$d", d)).toDF("qid", "sd")
+    val idf = log(lit(1.0) +
+      (lit(in.nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val w0 = seeds.join(in.tf, col("sd") === col("doc_id"))
+      .join(in.dft, "term")
+      .select(col("qid"), col("term"),
+        round(col("tf").cast("double") * idf, 6).as("qtf"))
+    val sel = Window.partitionBy("qid").orderBy(col("qtf").desc, col("term").asc)
+    val wts = w0.withColumn("rn", row_number().over(sel))
+      .where(col("rn") <= mltMaxTerms && col("qtf") > 0.0)
+      .select("qid", "term", "qtf")
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    in.scorePass(wts, graft.score.BM25Params())
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("doc_id"), col("score"), col("rank").cast("int"))
+  }
+
+  /** MLT oracle chain parameterized by the weighted contribution builder —
+    * shared by the composed entry and the float32-quantized indexed twin.
+    */
+  private[entry] def mltTopkSqlFor(contribOf: String => String): String = {
+    val seedVals = mltSeeds.map(d => s"('m$d', $d)").mkString(", ")
+    s"""WITH $bm25BaseCtes,
+       |mseeds(mqid, sd) AS (VALUES $seedVals),
+       |mw0 AS (SELECT s.mqid, tf.term,
+       |          round(tf.tf::DOUBLE
+       |            * ln(1.0 + (stats.n - dft.df + 0.5)/(dft.df + 0.5)), 6) AS qtf
+       |        FROM mseeds s JOIN tf ON tf.doc_id = s.sd
+       |        JOIN dft USING (term) CROSS JOIN stats),
+       |mwts AS (SELECT mqid AS qid, term, qtf FROM (
+       |          SELECT mqid, term, qtf,
+       |            row_number() OVER (PARTITION BY mqid ORDER BY qtf DESC, term ASC) AS rn
+       |          FROM mw0) WHERE rn <= $mltMaxTerms AND qtf > 0),
+       |scoredm AS (
+       |  SELECT wts.qid, tf.doc_id, round(sum(${contribOf("wts.qtf")}), 4) AS score
+       |  FROM mwts wts
+       |  JOIN tf USING (term) JOIN dft USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1,2),
+       |rr AS (SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+       |       FROM scoredm)
+       |SELECT qid, doc_id, score, rank::INT AS rank
+       |FROM rr WHERE rank <= $topK
+       |""".stripMargin
+  }
+
+  val bm25MltSql: String = mltTopkSqlFor(luceneContribSqlW)
+
   // ---- tokenization stats ----------------------------------------------
 
   def tokDoclen(spark: SparkSession, sfDir: String): DataFrame =
@@ -580,6 +644,7 @@ object DriverQueries {
     "hybrid_rrf" -> (hybridRrf _),
     "hybrid_combmnz" -> (hybridCombmnz _),
     "bm25_rm3" -> (bm25TopkRm3 _),
+    "bm25_mlt" -> (bm25Mlt _),
     "tok_doclen" -> (tokDoclen _),
     "term_df" -> (termDf _),
     "corpus_stats" -> (corpusStats _),
@@ -601,6 +666,7 @@ object DriverQueries {
     "hybrid_rrf" -> hybridRrfSql,
     "hybrid_combmnz" -> hybridCombmnzSql,
     "bm25_rm3" -> bm25TopkRm3Sql,
+    "bm25_mlt" -> bm25MltSql,
     "tok_doclen" -> tokDoclenSql,
     "term_df" -> termDfSql,
     "corpus_stats" -> corpusStatsSql,

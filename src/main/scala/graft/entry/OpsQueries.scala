@@ -683,6 +683,27 @@ object OpsQueries {
   val bm25TopkRm3IndexedSql: String =
     DriverQueries.rm3TopkSqlFor(quantContribSql, quantContribSqlW)
 
+  /** More-Like-This through the INDEX-BACKED engine: seed weights from the
+    * STORED doc vectors (pruned docvecs fetch) × lucene idf over the
+    * bucket-pruned postings df, top-25 cut on the 6-dp-rounded weight,
+    * retrieval via searchWandWeighted — the whole chain over index tables
+    * only. The DuckDB twin re-derives the weights exactly (same tf/df by
+    * construction) and quantizes scoring impacts through REAL like every
+    * indexed oracle.
+    */
+  def bm25MltIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = new graft.query.BM25Index(spark, indexedDir(spark, sfDir))
+    import spark.implicits._
+    val seeds = DriverQueries.mltSeeds.map(_.toString).toDF("docId")
+    val raw = graft.query.MoreLikeThis.searchIndexed(idx, seeds, indexedRawK,
+      maxTerms = DriverQueries.mltMaxTerms, weightScale = 6)
+    rerankRounded(raw)
+      .select(concat(lit("m"), col("qid")).as("qid"),
+        col("doc_id"), col("score"), col("rank"))
+  }
+
+  val bm25MltIndexedSql: String = DriverQueries.mltTopkSqlFor(quantContribSqlW)
+
   /** Same float32-quantized chain, ranked over the filtered candidate set
     * (stats global — the filter touches only the ranking input).
     */
@@ -720,7 +741,8 @@ object OpsQueries {
     "eval_metrics" -> (evalMetrics _),
     "bm25_topk_indexed" -> (bm25TopkIndexed _),
     "bm25_topk_filtered_indexed" -> (bm25TopkFilteredIndexed _),
-    "bm25_rm3_indexed" -> (bm25TopkRm3Indexed _))
+    "bm25_rm3_indexed" -> (bm25TopkRm3Indexed _),
+    "bm25_mlt_indexed" -> (bm25MltIndexed _))
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -744,5 +766,6 @@ object OpsQueries {
     "eval_metrics" -> evalMetricsSql,
     "bm25_topk_indexed" -> bm25TopkIndexedSql,
     "bm25_rm3_indexed" -> bm25TopkRm3IndexedSql,
+    "bm25_mlt_indexed" -> bm25MltIndexedSql,
     "bm25_topk_filtered_indexed" -> bm25TopkFilteredIndexedSql)
 }

@@ -35,6 +35,13 @@ class BM25Index(val spark: SparkSession, val indexDir: String) {
 
   def postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
 
+  /** Per-term global stats (term, df, ctf) — the query-side term
+    * dictionary. Full-vocabulary scans of this table are the FALLBACK
+    * path; bounded term sets resolve df through the bucket-pruned
+    * postings scan instead (QueryEngine.postingTermDf).
+    */
+  def termstats: DataFrame = spark.read.parquet(s"$indexDir/termstats")
+
   /** Whether this index stores per-document term vectors (the Pyserini
     * `--storeDocvectors` analogue; IndexBuilder.Config.storeDocVectors).
     * Indexes built before the docvecs stage existed report false.
@@ -125,6 +132,16 @@ object QueryEngine {
         broadcast(terms.toDF("term").distinct()), Seq("term"), "left_semi")
     }
   }
+
+  /** Exact global df for a bounded term set via the bucket-pruned,
+    * term-pushed postings scan (df rides on every posting row) — no
+    * vocabulary-wide termstats scan. Result: (term, df), one row per
+    * term present in the index.
+    */
+  private[query] def postingTermDf(index: BM25Index, terms: Seq[String]): DataFrame =
+    candidates(index, terms)
+      .select(col("term"), col("df"))
+      .dropDuplicates("term")
 
   /** Max allowed-doc rows a query-time doc filter may collect and broadcast
     * into the WAND/TAAT kernels (sorted long array; 2M docs ≈ 16 MiB).
