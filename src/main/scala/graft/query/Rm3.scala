@@ -102,6 +102,14 @@ object Rm3 {
     spark.conf.getOption("spark.graft.rm3MaxPrunedFeedbackDocs")
       .map(_.toInt).getOrElse(1 << 21)
 
+  /** Max feedback-doc ids carried as a literal In/InSet filter into the
+    * docvecs scan (row-group pruning); larger sets use a broadcast
+    * semi-join over the salt-pruned partitions instead.
+    */
+  def maxInIds(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.docvecMaxInIds")
+      .map(_.toInt).getOrElse(1 << 16)
+
   /** Fetch stored doc vectors for a bounded feedback doc set from the
     * index's docvecs table (the consumer Pyserini stores doc vectors for,
     * benchmark/on_pyserini.py:245-253).
@@ -136,7 +144,12 @@ object Rm3 {
         val ids = rows.map(_.getLong(0))
         val salts = rows.map(_.getInt(1)).distinct.toSeq
         val bySalt = index.docvecs.where(col("salt").isInCollection(salts))
-        if (ids.length <= QueryEngine.maxInTerms(spark))
+        // long-id In/InSet filters stay cheap far beyond the string-term
+        // In bound, and reaching the scan matters: the id filter prunes
+        // row groups of the docIntId-sorted files (measured ~2% of
+        // records read), while the semi-join fallback scans every
+        // surviving salt partition in full
+        if (ids.length <= maxInIds(spark))
           bySalt.where(col("docIntId").isInCollection(ids.toSeq))
         else {
           import spark.implicits._
