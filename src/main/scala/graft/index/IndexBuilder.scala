@@ -151,6 +151,42 @@ object IndexBuilder {
   def bucketOf(term: Column, numBuckets: Int): Column =
     pmod(xxhash64(term), lit(numBuckets.toLong)).cast(IntegerType)
 
+  /** One PACKED stored doc vector: all of a document's (term, tf) pairs in
+    * two parallel arrays (docvecs format "packed"). One row per document
+    * instead of one per (doc, term): the docvecs table carries no repeated
+    * docIntId/salt per term, shuffles ~1/avgUniqueTerms the record count,
+    * and its pre-write sort orders ~numDocs packed rows instead of the full
+    * token table — measured ~22% of index build as row-per-term in round 5.
+    */
+  final case class DocVecRow(docIntId: Long, salt: Int,
+                             terms: Array[String], tfs: Array[Long])
+
+  /** Streaming per-partition packer over (docIntId, term, tf) rows: groups
+    * CONSECUTIVE equal-docIntId runs into one DocVecRow. Segment files are
+    * written doc-contiguously (per-doc explode), so runs are whole doc
+    * vectors in the common case; a doc whose rows straddle an input-split
+    * boundary yields two partial rows — harmless, because every (doc, term)
+    * pair exists exactly once globally and consumers union the pairs back
+    * (Rm3.feedbackVectors explodes the arrays). Memory is bounded by one
+    * document's vocabulary.
+    */
+  final class DocVecPacker(rows: Iterator[org.apache.spark.sql.Row])
+      extends Iterator[DocVecRow] {
+    private val it = rows.buffered
+    def hasNext: Boolean = it.hasNext
+    def next(): DocVecRow = {
+      val id = it.head.getLong(0)
+      val terms = scala.collection.mutable.ArrayBuffer.empty[String]
+      val tfs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (it.hasNext && it.head.getLong(0) == id) {
+        val r = it.next()
+        terms += r.getString(1)
+        tfs += r.getLong(2)
+      }
+      DocVecRow(id, (id >>> SaltShift).toInt, terms.toArray, tfs.toArray)
+    }
+  }
+
   /** Build (or resume) the index for a corpus of (docId STRING, content
     * STRING) rows. Returns the store handle.
     */
@@ -167,10 +203,58 @@ object IndexBuilder {
     obs.get("n").asInstanceOf[Long]
   }
 
+  /** Write (or resume) the packed docvecs table — stored document term
+    * vectors, re-clustered for per-doc random access: PACKED one row per
+    * doc BEFORE the shuffle (so the salt shuffle moves ~numDocs array rows,
+    * not the full token table), partitioned by salt (a feedback fetch
+    * partition-prunes to its docs' salt groups) and sorted by docIntId
+    * within files (row-group min/max stats prune to the exact docs, so a
+    * bounded doc set reads a bounded byte range — no corpus or token-table
+    * scan). The analogue of Pyserini's `--storeDocvectors`
+    * (benchmark/on_pyserini.py:245-253). Consumed by
+    * graft.query.Rm3.feedbackVectors.
+    */
+  private def docvecsStage(spark: SparkSession, indexDir: String,
+                           store: IcebergLikeStore, segments: DataFrame,
+                           P: Int): Unit = {
+    if (store.committedGroups().contains("docvecs")) return
+    val s = System.nanoTime()
+    implicit val enc = org.apache.spark.sql.Encoders.product[DocVecRow]
+    val packed = segments.select(col("docIntId"), col("term"), col("tf"))
+      .mapPartitions(rows => new DocVecPacker(rows))
+    val n = writeCounted(
+      packed.toDF()
+        .repartition(P, col("salt"))
+        // packed rows: ~numDocs/P per task — this sort is over three orders
+        // of magnitude fewer rows than the row-per-term layout sorted
+        .sortWithinPartitions("salt", "docIntId"),
+      s"$indexDir/docvecs", partitionCols = Seq("salt"))
+    store.commit(PartitionCommit("docvecs", Seq("docvecs"), n,
+      Map("stage" -> "docvecs", "format" -> "packed"),
+      (System.nanoTime() - s) / 1e9))
+  }
+
   def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
             cfg: Config = Config()): IcebergLikeStore = {
     val store = new IcebergLikeStore(indexDir)
-    if (store.isComplete) return store
+    if (store.isComplete) {
+      // Backfill path: a complete index built WITHOUT doc vectors (or before
+      // the docvecs stage existed) would otherwise only fail later, at
+      // query time, through BM25Index.docvecs' require. The stage is
+      // commit-guarded and reads only the persisted segments, so running it
+      // here is exactly the resume semantics the other stages have.
+      val props = store.readProperties()
+      if (!cfg.storeDocVectors || props.get("docVectors").contains("true"))
+        return store
+      val P = if (cfg.docmapPartitions > 0) cfg.docmapPartitions
+              else spark.sparkContext.defaultParallelism
+      val segs = spark.read.parquet(s"$indexDir/segments")
+        .select("docIntId", "len", "term", "tf")
+      docvecsStage(spark, indexDir, store, segs, P)
+      store.writeProperties(props ++ Map(
+        "docVectors" -> "true", "docvecsFormat" -> "packed"))
+      return store
+    }
     val t0 = System.nanoTime()
 
     val P = if (cfg.docmapPartitions > 0) cfg.docmapPartitions
@@ -260,23 +344,8 @@ object IndexBuilder {
       store.commit(PartitionCommit("docs", Seq("docs"), n,
         Map("stage" -> "docs"), (System.nanoTime() - s) / 1e9))
     }
-    // ---- stage 2b: docvecs — stored document term vectors, re-clustered
-    // for per-doc random access: partitioned by salt (a feedback fetch
-    // partition-prunes to its docs' salt groups) and sorted by docIntId
-    // within files (row-group min/max stats prune to the exact docs, so a
-    // bounded doc set reads a bounded byte range — no corpus or token-table
-    // scan). Consumed by graft.query.Rm3.feedbackVectors.
-    if (cfg.storeDocVectors && !store.committedGroups().contains("docvecs")) {
-      val s = System.nanoTime()
-      val n = writeCounted(
-        segments.select(col("docIntId"), col("term"), col("tf"))
-          .withColumn("salt", saltOf(col("docIntId")))
-          .repartition(P, col("salt"))
-          .sortWithinPartitions("salt", "docIntId", "term"),
-        s"$indexDir/docvecs", partitionCols = Seq("salt"))
-      store.commit(PartitionCommit("docvecs", Seq("docvecs"), n,
-        Map("stage" -> "docvecs"), (System.nanoTime() - s) / 1e9))
-    }
+    // ---- stage 2b: docvecs — stored document term vectors (packed).
+    if (cfg.storeDocVectors) docvecsStage(spark, indexDir, store, segments, P)
 
     val docs = spark.read.parquet(s"$indexDir/docs")
     val statsRow = docs.agg(count(lit(1)), avg(col("len")), sum(col("len")),
@@ -357,6 +426,7 @@ object IndexBuilder {
       "stemmer" -> (if (cfg.stem) "snowball-en" else "none"),
       "stopwords" -> "en-33",
       "docVectors" -> cfg.storeDocVectors.toString,
+      "docvecsFormat" -> (if (cfg.storeDocVectors) "packed" else "none"),
       "numDocs" -> numDocs.toString, "avgdl" -> avgdl.toString,
       "numTokens" -> numTokens.toString,
       "numBuckets" -> cfg.numBuckets.toString,

@@ -239,7 +239,13 @@ object Similarity {
     lazy val centroids: Seq[(Long, Seq[Double], Double)] =
       spark.read.parquet(s"$indexDir/centroids").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    /** cid comes back as a PARTITION column whose type is inferred (int by
+      * default, string when partitionColumnTypeInference is disabled) —
+      * cast it to the long the probes/centroids carry so the probe join
+      * never depends on the inference setting or on implicit casts.
+      */
     def cells: DataFrame = spark.read.parquet(s"$indexDir/cells")
+      .withColumn("cid", col("cid").cast("long"))
   }
 
   /** Build (or no-op over) a persisted IVF index at `indexDir`: centroids

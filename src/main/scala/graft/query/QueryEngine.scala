@@ -48,9 +48,17 @@ class BM25Index(val spark: SparkSession, val indexDir: String) {
     */
   val hasDocVectors: Boolean = props.get("docVectors").contains("true")
 
-  /** Stored doc term vectors (docIntId, term, tf), salt-partitioned and
-    * docIntId-sorted within files — fetch through Rm3.feedbackVectors so
-    * partition + row-group pruning apply.
+  /** Docvecs layout: "packed" (one row per doc — docIntId, salt, terms[],
+    * tfs[]) for indexes built/backfilled from round 6 on; "rows" for legacy
+    * round-5 indexes (one row per (doc, term)). Rm3.feedbackVectors
+    * branches on this when unpacking.
+    */
+  val docvecsFormat: String =
+    props.getOrElse("docvecsFormat", if (hasDocVectors) "rows" else "none")
+
+  /** Stored doc term vectors, salt-partitioned and docIntId-sorted within
+    * files (see [[docvecsFormat]] for the row layout) — fetch through
+    * Rm3.feedbackVectors so partition + row-group pruning apply.
     */
   def docvecs: DataFrame = {
     require(hasDocVectors,
@@ -467,8 +475,11 @@ object QueryEngine {
     val spark = index.spark
     val dir = s"${chunkSpillRoot(index)}/${java.util.UUID.randomUUID()}"
     graft.util.TempFs.registerForCleanup(spark, dir)
-    finished.write.parquet(dir)
-    toDestroy.foreach(_.destroy())
+    // destroy in a finally: a failed spill write (disk full, task failure)
+    // must still release the broadcasts — pinning them until ContextCleaner
+    // GC is the exact leak this method exists to avoid
+    try finished.write.parquet(dir)
+    finally toDestroy.foreach(_.destroy())
     spark.read.parquet(dir)
   }
 

@@ -96,11 +96,19 @@ object Rm3 {
   /** Max feedback-doc rows collected to the driver to drive docvec
     * partition/row-group pruning; beyond it the fetch degrades to a
     * distributed semi-join (exact, no pruning). nQueries × fbDocs stays
-    * far below this for any sane batch.
+    * far below this for any sane batch (a 10k-query batch at fbDocs=10 is
+    * 100k rows).
+    *
+    * Driver-heap sizing rule: each collected row is a boxed (long, int)
+    * Row, ~48-64 bytes on-heap — the default 2^18 bound caps the collect
+    * at ~16 MB of transient driver heap. Raise
+    * `spark.graft.rm3MaxPrunedFeedbackDocs` only with driver memory to
+    * match (~64 bytes/row); the over-bound fallback stays exact, it just
+    * loses row-group pruning.
     */
   def maxPrunedFeedbackDocs(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.getOption("spark.graft.rm3MaxPrunedFeedbackDocs")
-      .map(_.toInt).getOrElse(1 << 21)
+      .map(_.toInt).getOrElse(1 << 18)
 
   /** Max feedback-doc ids carried as a literal In/InSet filter into the
     * docvecs scan (row-group pruning); larger sets use a broadcast
@@ -157,7 +165,20 @@ object Rm3 {
             Seq("docIntId"), "left_semi")
         }
       }
-    val docTf = pruned
+    // unpack AFTER pruning: the packed layout (one row per doc — terms[],
+    // tfs[]) keeps partition + row-group pruning on ~numDocs rows, and only
+    // the ≤ nQueries × fbDocs surviving vectors explode back to (term, tf)
+    // pairs. A doc split across input-split boundaries at build time yields
+    // two partial rows whose pairs union here — each (doc, term) exists
+    // exactly once globally, so the result is identical.
+    val unpacked =
+      if (index.docvecsFormat == "packed")
+        pruned.select(col("docIntId"),
+          explode(arrays_zip(col("terms"), col("tfs"))).as("tt"))
+          .select(col("docIntId"), col("tt.terms").as("term"),
+            col("tt.tfs").as("tf"))
+      else pruned // legacy row-per-(doc,term) layout
+    val docTf = unpacked
       .join(broadcast(dim.select("docIntId", "docId")), "docIntId")
       .select(col("docId"), col("term"), col("tf"))
     (docTf, dl)

@@ -20,11 +20,12 @@ object Rm3Probe {
     val nDocs = sys.env.getOrElse("GRAFT_PROBE_DOCS", "2400000").toInt
     val nQ = sys.env.getOrElse("GRAFT_PROBE_QUERIES", "1200").toInt
     val spark = BenchCore.probeSession(32, "rm3probe")
-    // probe indexes cached by older rounds predate the docvecs stage —
-    // rebuild if the doc-vector table is missing
+    // probe indexes cached by older rounds predate the docvecs stage (or
+    // carry the pre-r6 row-per-term layout) — rebuild so the probe measures
+    // the current packed format
     val idxDir = s"${BenchCore.workBase}/qprobe-index-$nDocs"
     var idx = BenchCore.probeIndex(spark, nDocs)
-    if (!idx.hasDocVectors) {
+    if (!idx.hasDocVectors || idx.docvecsFormat != "packed") {
       graft.util.Dirs.deleteRecursively(new java.io.File(idxDir))
       idx = BenchCore.probeIndex(spark, nDocs)
     }

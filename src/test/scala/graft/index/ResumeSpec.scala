@@ -59,6 +59,46 @@ class ResumeSpec extends SparkTestBase {
     assert(props1 == props2) // buildElapsedSec unchanged ⇒ nothing re-ran
   }
 
+  test("packed docvecs unpack to exactly the segments (doc, term, tf) pairs") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("graft-dvpack")
+    IndexBuilder.build(spark, corpusDf, dir,
+      IndexBuilder.Config(numSegmentGroups = 2, numBuckets = 4))
+    val unpacked = spark.read.parquet(s"$dir/docvecs")
+      .select(col("docIntId"), explode(arrays_zip(col("terms"), col("tfs"))).as("tt"))
+      .select(col("docIntId"), col("tt.terms").as("term"), col("tt.tfs").as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val segs = spark.read.parquet(s"$dir/segments")
+      .select("docIntId", "term", "tf")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(unpacked == segs)
+    // pairs are globally unique even if a doc straddled an input split
+    assert(unpacked.distinct.size == unpacked.size)
+  }
+
+  test("complete no-docvec store is backfilled when storeDocVectors is requested") {
+    val dir = tmpDir("graft-backfill")
+    val cfg = IndexBuilder.Config(numSegmentGroups = 2, numBuckets = 4,
+      storeDocVectors = false)
+    IndexBuilder.build(spark, corpusDf, dir, cfg)
+    val props0 = new graft.store.IcebergLikeStore(dir).readProperties()
+    assert(props0("docVectors") == "false")
+    assert(!new java.io.File(s"$dir/docvecs").exists())
+    // re-invoking with the default (storeDocVectors = true) backfills the
+    // stage instead of silently returning the vectorless store
+    IndexBuilder.build(spark, corpusDf, dir, cfg.copy(storeDocVectors = true))
+    val props1 = new graft.store.IcebergLikeStore(dir).readProperties()
+    assert(props1("docVectors") == "true")
+    assert(props1("docvecsFormat") == "packed")
+    assert(props1("numDocs") == props0("numDocs")) // nothing else re-ran
+    val idx = new graft.query.BM25Index(spark, dir)
+    assert(idx.hasDocVectors && idx.docvecsFormat == "packed")
+    // the backfilled vectors feed RM3 end to end
+    import spark.implicits._
+    val q = Seq(("q1", "merge sort")).toDF("qid", "query")
+    assert(graft.query.Rm3.searchIndexed(idx, q, 5, fbDocs = 3).count() >= 0)
+  }
+
   test("per-row sha256(content) invariant preserved through ingestion") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("graft-sha")

@@ -141,6 +141,33 @@ class Rm3Spec extends SparkTestBase {
       s"corpus scan leaked into the docvec fetch:\n$plan")
   }
 
+  test("over-bound docvec-fetch fallbacks (semi-join, broadcast In) stay exact") {
+    val idx = new BM25Index(spark, indexDir)
+    val want = resultsByQid(
+      Rm3.searchIndexed(idx, queriesDf, 10, fbDocs = 5, fbTerms = 8, alpha = 0.5))
+    // force the collect bound (driver-heap guard, Rm3.maxPrunedFeedbackDocs)
+    // and the In-literal bound (Rm3.maxInIds) in turn — both fallbacks must
+    // reproduce the pruned path bit for bit
+    for (conf <- Seq("spark.graft.rm3MaxPrunedFeedbackDocs",
+                     "spark.graft.docvecMaxInIds")) {
+      spark.conf.set(conf, "1")
+      try {
+        val got = resultsByQid(
+          Rm3.searchIndexed(idx, queriesDf, 10, fbDocs = 5, fbTerms = 8, alpha = 0.5))
+        assert(got.keySet == want.keySet, s"fallback via $conf: qid set")
+        for (qid <- want.keySet) {
+          assert(got(qid).map(_._1) == want(qid).map(_._1),
+            s"fallback via $conf: $qid doc order")
+          // the fallback changes partitioning, hence double-summation order
+          // in the relevance model — scores agree to FP-reassociation noise
+          got(qid).zip(want(qid)).foreach { case ((d, gs), (_, ws)) =>
+            assert(math.abs(gs - ws) < 1e-9, s"$conf $qid $d: $gs vs $ws")
+          }
+        }
+      } finally spark.conf.unset(conf)
+    }
+  }
+
   test("searchWandWeighted with integer qtf weights matches the text path") {
     val idx = new BM25Index(spark, indexDir)
     val weighted = queriesDf
