@@ -87,49 +87,75 @@ object OpsQueries {
        |  (least(d.doc_id, coalesce(c.mn, d.doc_id)) = d.doc_id) AS keep
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin
 
-  /** MinHash+LSH near-dups (no SQL oracle: xxhash64 signatures — DuckDB
-    * cannot recompute them). Every row therefore carries `twin_ok`: its
-    * est_jaccard recomputed through the INTERPRETED TwinChecks pipeline
-    * (shingle → signature → agreement) must equal the native codegen
-    * kernels' value, so the driver's rows-only check verifies semantics,
-    * not just cardinality. The ScalaTest suite additionally checks recall
-    * against exact Jaccard.
+  /** MinHash+LSH near-dups, md5 hash family (Dedup.minhashLshMd5) — the
+    * driver entry runs the SQL-recomputable family so DuckDB value-checks
+    * the FULL pipeline: shingling, per-seed signature minima, banding,
+    * candidate join, signature-agreement estimate, threshold. The xxhash64
+    * fast default stays covered by OpsSpec (recall vs exact Jaccard +
+    * interpreted TwinChecks parity).
     */
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Dedup.minhashLsh(docs(spark, sfDir), asciiToks, "doc_id",
-      n = 3, m = 32, bands = 8, threshold = 0.5)
-    val sigTwin = udf((toks: Seq[String]) =>
-      graft.ops.TwinChecks.minhashSig(graft.ops.TwinChecks.shingles(toks, 3), 32))
-    val agree = udf((a: Seq[Long], b: Seq[Long]) =>
-      if (a.size != b.size) -1 else a.zip(b).count(t => t._1 == t._2))
-    val twin = docs(spark, sfDir)
-      .select(col("doc_id").as("id"), sigTwin(asciiToks).as("tsig"))
-    pairs
-      .join(twin.select(col("id").as("id_a"), col("tsig").as("tsa")), "id_a")
-      .join(twin.select(col("id").as("id_b"), col("tsig").as("tsb")), "id_b")
-      .select(col("id_a"), col("id_b"), col("est_jaccard"),
-        (col("est_jaccard") ===
-          round(agree(col("tsa"), col("tsb")).cast("double") / 32.0, 6))
-          .as("twin_ok"))
+  private val mhSeeds = 32
+  private val mhBands = 8
+
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashLshMd5(docs(spark, sfDir), asciiToks, "doc_id",
+      n = 3, m = mhSeeds, bands = mhBands, threshold = 0.5)
       .orderBy("id_a", "id_b")
+
+  val dedupMinhashSql: String = {
+    val r = mhSeeds / mhBands
+    val sigCols = (0 until mhSeeds)
+      .map(j => s"min(md5('$j' || ':' || sh)) AS s$j").mkString(", ")
+    val bandSelects = (0 until mhBands).map { bnd =>
+      val cat = (0 until r).map(j => s"s${bnd * r + j}").mkString(" || ',' || ")
+      s"SELECT doc_id, $bnd AS band, md5($cat) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until mhSeeds)
+      .map(j => s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |       FROM t WHERE len(toks) >= 3),
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY 1),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |est AS (SELECT id_a, id_b,
+       |          round(($agree) / $mhSeeds.0, 6) AS est_jaccard
+       |        FROM cand JOIN sig sa ON id_a = sa.doc_id
+       |                  JOIN sig sb ON id_b = sb.doc_id)
+       |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
   }
 
-  /** SimHash near-dups: same twin_ok convention — the Hamming distance is
-    * recomputed from TwinChecks.simhash signatures in-row.
+  /** SimHash near-dups, md5 hash family (Dedup.simhashNearDupsMd5). The
+    * oracle compares ALL pairs directly — legitimate because pigeonhole
+    * blocking is lossless for Hamming ≤ maxDist, so the pipelines define
+    * the same set; the value check then pins the per-bit vote math.
     */
-  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Dedup.simhashNearDups(docs(spark, sfDir), asciiToks, "doc_id",
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashNearDupsMd5(docs(spark, sfDir), asciiToks, "doc_id",
       maxDist = 3)
-    val shTwin = udf((toks: Seq[String]) => graft.ops.TwinChecks.simhash(toks))
-    val twin = docs(spark, sfDir)
-      .select(col("doc_id").as("id"), shTwin(asciiToks).as("tsh"))
-    pairs
-      .join(twin.select(col("id").as("id_a"), col("tsh").as("tsa")), "id_a")
-      .join(twin.select(col("id").as("id_b"), col("tsh").as("tsb")), "id_b")
-      .select(col("id_a"), col("id_b"), col("hamming"),
-        (col("hamming") ===
-          bit_count(col("tsa").bitwiseXOR(col("tsb"))).cast("int")).as("twin_ok"))
       .orderBy("id_a", "id_b")
+
+  val dedupSimhashSql: String = {
+    val votes = (0 until 64)
+      .map(b => s"sum(CASE WHEN (u >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    // v63 term FIRST: partial sums then stay in signed-64 range
+    val bits = (s"CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1)::BIGINT ELSE 0 END" +:
+      (0 until 63).map(b => s"CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0 END"))
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]{2,}')) AS tok FROM documents),
+       |u AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS u FROM t),
+       |v AS (SELECT doc_id, $votes FROM u GROUP BY 1),
+       |sig AS (SELECT doc_id, ($bits) AS sh FROM v)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.sh, b.sh))::INT AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
   }
 
   /** nBits=4 (16 buckets) for the sf0.01-1 fixture sizes per the
@@ -301,24 +327,33 @@ object OpsQueries {
   val textFingerprintSql: String =
     "SELECT doc_id AS id, substr(md5(lower(text)), 1, 16) AS fp16 FROM documents"
 
-  /** Winnowing fingerprints (rows-only: the rolling-hash family has no SQL
-    * twin). The raw `array<long>` column is collapsed to a scalar digest —
-    * the driver's pandas row compare cannot sort/hash numpy arrays
-    * (round-1 crash), and a digest pins the same information. `twin_ok`
-    * recomputes the fingerprints through TwinChecks.winnowNaive (direct
-    * Horner-rule k-gram hashes — no rolling update) and asserts exact
-    * array equality in-row.
+  /** Winnowing fingerprints, md5 hash family (TextAnalysis.fingerprintsMd5)
+    * — k-gram md5 hex strings, window minima, dedup+sort, then the array
+    * collapsed to (count, md5 digest of the comma-joined sorted minima):
+    * the driver's pandas row compare cannot sort/hash arrays (round-1
+    * crash), and the digest pins the same information while staying
+    * DuckDB-recomputable. The rolling-hash fast family stays covered by
+    * OpsSpec (published-property tests + TwinChecks.winnowNaive parity).
     */
-  def textWinnow(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-    val twinUdf = udf((s: String) => graft.ops.TwinChecks.winnowNaive(s, 8, 4))
-    TextAnalysis.fingerprints(d, "doc_id", "text")
-      .join(d.select(col("doc_id").as("id"),
-        twinUdf(lower(col("text"))).as("tw")), "id")
+  def textWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.fingerprintsMd5(docs(spark, sfDir), "doc_id", "text",
+      k = 8, w = 4)
       .select(col("id"), size(col("fingerprints")).cast("long").as("n_fingerprints"),
-        xxhash64(to_json(col("fingerprints"))).as("fp_digest"),
-        (col("fingerprints") === col("tw")).as("twin_ok"))
-  }
+        md5(concat_ws(",", col("fingerprints")).cast("binary")).as("fp_digest"))
+
+  val textWinnowSql: String =
+    """WITH d AS (SELECT doc_id AS id, lower(text) AS t FROM documents
+      |           WHERE len(lower(text)) >= 8),
+      |kg AS (SELECT id, i, len(t) - 7 AS nk, md5(substr(t, i::INT, 8)) AS h
+      |       FROM (SELECT id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM d)),
+      |win AS (SELECT id, i, nk,
+      |          min(h) OVER (PARTITION BY id ORDER BY i
+      |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+      |        FROM kg),
+      |sel AS (SELECT DISTINCT id, mh FROM win WHERE i <= greatest(nk - 3, 1))
+      |SELECT id, count(*)::BIGINT AS n_fingerprints,
+      |  md5(string_agg(mh, ',' ORDER BY mh)) AS fp_digest
+      |FROM sel GROUP BY 1""".stripMargin
 
   // ---- multimodal ---------------------------------------------------------
 
@@ -748,6 +783,9 @@ object OpsQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "text_winnow" -> textWinnowSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "ann_cosine_topk" -> annCosineTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,

@@ -330,10 +330,26 @@ object IndexBuilder {
         segments0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else segments0
 
+    // ---- stage 2a: docvecs — stored document term vectors (packed).
+    // Runs BEFORE the docs table: the packed rows then feed the doc-length
+    // computation below, which repays most of this stage's cost.
+    if (cfg.storeDocVectors) docvecsStage(spark, indexDir, store, segments, P)
+
     // ---- stage 2: docs table (docId, len) + global stats.
     if (!store.committedGroups().contains("docs")) {
       val s = System.nanoTime()
-      val lens = segments.groupBy("docIntId").agg(sum("tf").as("len"))
+      // doc lengths: with stored doc vectors, Σtf comes from the PACKED
+      // docvecs table (~numDocs array rows — a per-doc array fold plus a
+      // near-no-op agg that only merges split-straddle partials) instead of
+      // re-scanning and shuffle-aggregating the full token table; the
+      // vectorless build keeps the token-table aggregation.
+      val lens =
+        (if (cfg.storeDocVectors)
+           spark.read.parquet(s"$indexDir/docvecs")
+             .select(col("docIntId"),
+               aggregate(col("tfs"), lit(0L), (a, x) => a + x).as("tf"))
+         else segments.select(col("docIntId"), col("tf")))
+          .groupBy("docIntId").agg(sum("tf").as("len"))
       // shuffle-hash, not sort-merge: neither side needs sorting for a
       // plain equi-join and SMJ would sort both million-row sides
       val n = writeCounted(
@@ -344,8 +360,6 @@ object IndexBuilder {
       store.commit(PartitionCommit("docs", Seq("docs"), n,
         Map("stage" -> "docs"), (System.nanoTime() - s) / 1e9))
     }
-    // ---- stage 2b: docvecs — stored document term vectors (packed).
-    if (cfg.storeDocVectors) docvecsStage(spark, indexDir, store, segments, P)
 
     val docs = spark.read.parquet(s"$indexDir/docs")
     val statsRow = docs.agg(count(lit(1)), avg(col("len")), sum(col("len")),

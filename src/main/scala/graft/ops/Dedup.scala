@@ -149,10 +149,19 @@ object Dedup {
     * Output: (id_a, id_b, hamming).
     */
   def simhashNearDups(docs: DataFrame, tokens: Column, idCol: String,
-                      maxDist: Int = 3): DataFrame = {
+                      maxDist: Int = 3): DataFrame =
+    simhashPairsFrom(docs.select(col(idCol).as("id"), simhash(tokens).as("sh")),
+      maxDist)
+
+  /** Pigeonhole-blocked near-dup pairs over a precomputed (id, sh LONG)
+    * signature table — the shared back half of [[simhashNearDups]] and
+    * [[simhashNearDupsMd5]]. EXACT for its input signatures: every pair
+    * within maxDist shares at least one chunk, so candidates ⊇ true pairs
+    * and the Hamming filter removes nothing else.
+    */
+  private def simhashPairsFrom(sh: DataFrame, maxDist: Int): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val sh = docs.select(col(idCol).as("id"), simhash(tokens).as("sh"))
     val chunked = sh.select(col("id"), col("sh"),
       posexplode(array((0 until chunks).map { c =>
         shiftrightunsigned(col("sh"), c * width)
@@ -171,6 +180,99 @@ object Dedup {
         bit_count(col("sha").bitwiseXOR(col("shb"))).cast("int").as("hamming"))
       .where(col("hamming") <= maxDist)
   }
+
+  // ---- md5 hash family (SQL-recomputable oracle variants) -----------------
+  //
+  // xxhash64(seed 42) is the fast default family everywhere above, but no
+  // external SQL engine can recompute it — so those operators could only be
+  // rows-checked by the driver. These variants swap ONLY the hash primitive
+  // for md5 (the trick Similarity.ivfCentroids already uses so "an external
+  // oracle can re-derive the exact cells"); every other step — shingling,
+  // banding, votes, pigeonhole blocking — is the same algorithm, so a full
+  // DuckDB value check of an md5 entry exercises the same pipeline shape.
+  // Costs ~an md5 per (shingle, seed) instead of one xxhash64 + m mixes;
+  // use the default family at scale, this one where end-to-end SQL
+  // verifiability matters.
+
+  /** First 16 hex chars of md5 read big-endian as a signed 64-bit value —
+    * bit-identical to DuckDB's `('0x' || substr(md5(x), 1, 16))::UBIGINT`
+    * reinterpreted signed. Built from two 32-bit conv() halves (conv
+    * returns an unsigned decimal string, so a single 16-char parse would
+    * overflow the long).
+    */
+  private def md5Long64(s: Column): Column = {
+    val h = md5(s.cast("binary"))
+    shiftleft(conv(substring(h, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast("long"))
+  }
+
+  /** [[minhashLsh]] with the md5 hash family: signature component j = the
+    * MINIMUM md5 hex string of `"j:" + shingle` over the doc's shingles
+    * (string order — identical in every engine); band hash = md5 of the
+    * band's comma-joined components. Same banding/candidate/estimate
+    * pipeline, fully recomputable by the DuckDB oracle.
+    */
+  def minhashLshMd5(docs: DataFrame, tokens: Column, idCol: String,
+                    n: Int = 3, m: Int = 32, bands: Int = 8,
+                    threshold: Double = 0.5, roundTo: Int = 6): DataFrame = {
+    require(m % bands == 0)
+    val r = m / bands
+    val shd = docs.select(col(idCol).as("id"), explode(shingles(tokens, n)).as("sh"))
+    // m min-aggregates in ONE partial+final hash agg pass — the same
+    // map-side-combine shape as the signature kernel, no per-doc windows
+    val sigCols = (0 until m).map(j =>
+      min(md5(concat_ws(":", lit(j.toString), col("sh")).cast("binary"))).as(s"s$j"))
+    val signed = shd.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = signed.select(col("id"),
+      posexplode(array((0 until bands).map { bnd =>
+        md5(concat_ws(",", (0 until r).map(j => col(s"s${bnd * r + j}")): _*)
+          .cast("binary"))
+      }: _*)).as(Seq("band", "bh")))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val agree = (0 until m)
+      .map(j => when(col(s"sa.s$j") === col(s"sb.s$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(signed.as("sa"), col("id_a") === col("sa.id"))
+      .join(signed.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        round(agree.cast("double") / m, roundTo).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** md5-family SimHash signatures: (id, sh LONG) — per-bit ±1 votes of
+    * [[md5Long64]] token hashes, computed as 64 conditional sums in one
+    * partial+final hash agg over the exploded tokens (no per-doc state).
+    * Docs with zero tokens produce no row (no bits to vote).
+    */
+  def simhashMd5(docs: DataFrame, tokens: Column, idCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"), explode(tokens).as("tok"))
+      .select(col("id"), md5Long64(col("tok")).as("u"))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftrightunsigned(col("u"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b"))
+    val bits = (0 until 64).map { b =>
+      val bitVal = if (b == 63) Long.MinValue else 1L << b
+      when(col(s"v$b") > 0, lit(bitVal)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _) // disjoint bit positions: OR == +, overflow-free
+    tok.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), bits.as("sh"))
+  }
+
+  /** [[simhashNearDups]] with the md5 hash family — same exact pigeonhole
+    * pipeline over [[simhashMd5]] signatures. Fully SQL-recomputable: the
+    * oracle may equivalently compare ALL pairs, because the blocking is
+    * lossless for Hamming ≤ maxDist.
+    */
+  def simhashNearDupsMd5(docs: DataFrame, tokens: Column, idCol: String,
+                         maxDist: Int = 3): DataFrame =
+    simhashPairsFrom(simhashMd5(docs, tokens, idCol), maxDist)
 
   /** Connected components over an undirected near-dup pair list
     * (id_a, id_b) — the step that turns pairwise similarity output into

@@ -161,4 +161,36 @@ object TextAnalysis {
     */
   def md5Fingerprint(text: Column): Column =
     substring(md5(lower(text).cast("binary")), 1, 16)
+
+  /** Winnowing fingerprints with the md5 hash family — the SQL-recomputable
+    * variant of [[fingerprints]] (same opt-in trade as
+    * Dedup.minhashLshMd5): each k-gram hash is the md5 HEX STRING of the
+    * k-char substring (string order replaces integer order — well-defined
+    * and identical in every engine), window minima / dedup / sort as in
+    * Schleimer et al. Declarative Column pipeline: position explode →
+    * substr+md5 → per-doc ordered window min — the per-doc window is the
+    * cost of SQL recomputability; the rolling-hash UDF family remains the
+    * scale default. Docs shorter than k produce no row.
+    *
+    * Output: (id, fingerprints ARRAY&lt;STRING&gt; sorted distinct minima).
+    */
+  def fingerprintsMd5(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, w: Int = 4): DataFrame = {
+    val d = docs.select(col(idCol).as("id"), lower(col(textCol)).as("t"))
+      .where(length(col("t")) >= k)
+    val kg = d
+      .select(col("id"), (length(col("t")) - (k - 1)).as("nk"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("i"))
+      .select(col("id"), col("nk"), col("i"),
+        md5(substr(col("t"), col("i"), lit(k)).cast("binary")).as("h"))
+    val winMin = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
+    kg.withColumn("mh", min(col("h")).over(winMin))
+      // window STARTS only: i ≤ max(nk − w + 1, 1) — the trailing truncated
+      // frames are not winnowing windows (except the single degenerate one
+      // when the doc has fewer than w k-grams)
+      .where(col("i") <= greatest(col("nk") - (w - 1), lit(1)))
+      .groupBy("id")
+      .agg(sort_array(collect_set(col("mh"))).as("fingerprints"))
+  }
 }

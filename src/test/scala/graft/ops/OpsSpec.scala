@@ -467,14 +467,103 @@ class TrecEvalSpec extends SparkTestBase {
     assert(math.abs(m(3).getDouble(4) - 2.0 / 3) < 1e-5)
   }
 
-  test("no-oracle driver entries carry all-true twin_ok cross-checks") {
-    for (name <- Seq("dedup_minhash", "dedup_simhash", "text_winnow")) {
-      val df = graft.entry.OpsQueries.queries(name)(spark, "/root/testdata/sf0.001")
-      val rows = df.collect()
-      assert(rows.nonEmpty, s"$name returned no rows")
-      val bad = rows.filterNot(_.getAs[Boolean]("twin_ok"))
-      assert(bad.isEmpty, s"$name twin mismatch on ${bad.take(3).toSeq}")
-      spark.catalog.clearCache()
+  test("xxh64-family kernels agree with the interpreted TwinChecks twins") {
+    import graft.ops.TwinChecks
+    // the twin cross-checks lived in the driver entries while those had no
+    // SQL oracle; the entries now run the md5 family (DuckDB-checked), so
+    // the fast default family keeps its independent-twin coverage here
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60)
+    val tokFn = graft.tokenize.Tokenizer.splitTokens(
+      col("text"), graft.tokenize.Tokenizer.AsciiTokenPattern)
+    // minhash + simhash twins, row by row
+    d.select(col("doc_id"), tokFn.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        Dedup.minhashSignature(Dedup.shingles(col("toks"), 3), 32).as("sig"),
+        Dedup.simhash(col("toks")).as("sh"))
+      .collect().foreach { r =>
+        val toks = r.getSeq[String](1)
+        assert(r.getSeq[Long](2) ==
+          TwinChecks.minhashSig(TwinChecks.shingles(toks, 3), 32),
+          s"minhash twin mismatch for doc ${r.getLong(0)}")
+        assert(r.getLong(3) == TwinChecks.simhash(toks),
+          s"simhash twin mismatch for doc ${r.getLong(0)}")
+      }
+    // rolling-hash winnow vs the Horner-rule twin
+    graft.ops.TextAnalysis.fingerprints(d, "doc_id", "text")
+      .join(d.select(col("doc_id").as("id"), col("text")), "id")
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](1) ==
+          TwinChecks.winnowNaive(r.getString(2).toLowerCase, 8, 4),
+          s"winnow twin mismatch for doc ${r.getLong(0)}")
+      }
+  }
+
+  test("md5-family signatures match a scalar JVM recomputation") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = Seq(
+      (0L, "key agg row scan slow fast table value part hash"),
+      (1L, "key agg row scan slow fast table value part hash"),
+      (2L, "key agg row scan slow fast table value part join"),
+      (3L, "totally unrelated words about streams and windows here"))
+      .toDF("id", "text")
+    val toks = graft.tokenize.Tokenizer.splitTokens(
+      col("text"), graft.tokenize.Tokenizer.AsciiTokenPattern)
+
+    // simhashMd5: per-bit ±1 votes of the big-endian first-16-hex value
+    val got = Dedup.simhashMd5(d, toks, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def scalarSimhash(words: Seq[String]): Long = {
+      val us = words.map(w => java.lang.Long.parseUnsignedLong(
+        md5hex(w).substring(0, 16), 16))
+      (0 until 64).foldLeft(0L) { (acc, b) =>
+        val vote = us.map(u => if (((u >>> b) & 1L) == 1L) 1 else -1).sum
+        if (vote > 0) acc | (1L << b) else acc
+      }
+    }
+    d.select(col("id"), toks.as("t")).collect().foreach { r =>
+      assert(got(r.getLong(0)) == scalarSimhash(r.getSeq[String](1)),
+        s"simhashMd5 mismatch for ${r.getLong(0)}")
+    }
+
+    // minhashLshMd5: identical docs pair at est 1.0; near-identical pair
+    // found with high estimate; unrelated doc pairs with nothing
+    val est = Dedup.minhashLshMd5(d, toks, "id", n = 3, m = 32, bands = 8,
+      threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((0L, 1L)) == 1.0, s"est: $est")
+    assert(est.contains((0L, 2L)) && est((0L, 2L)) > 0.3)
+    assert(!est.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // the (0,2) estimate equals the scalar signature agreement: recompute
+    // both docs' full signatures (min md5("j:"+shingle) per seed) in plain
+    // Scala and compare component-wise agreement / 32
+    val shingleSets = d.select(col("id"), toks.as("t")).collect()
+      .map(r => r.getLong(0) ->
+        graft.ops.TwinChecks.shingles(r.getSeq[String](1), 3)).toMap
+    def scalarSig(sh: Seq[String]): Seq[String] =
+      (0 until 32).map(j => sh.map(s => md5hex(s"$j:" + s)).min)
+    val sig0 = scalarSig(shingleSets(0L)); val sig2 = scalarSig(shingleSets(2L))
+    val wantEst02 = sig0.zip(sig2).count(t => t._1 == t._2) / 32.0
+    assert(math.abs(est((0L, 2L)) - wantEst02) < 1e-9,
+      s"est(0,2)=${est((0L, 2L))} scalar=$wantEst02")
+
+    // winnow md5: fingerprints equal a scalar recomputation
+    val fps = graft.ops.TextAnalysis.fingerprintsMd5(d, "id", "text", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def scalarWinnow(s: String, k: Int, w: Int): Seq[String] = {
+      val t = s.toLowerCase
+      if (t.length < k) return Seq.empty
+      val hs = (0 to t.length - k).map(i => md5hex(t.substring(i, i + k)))
+      val n = math.max(hs.length - w + 1, 1)
+      (0 until n).map(i => hs.slice(i, math.min(i + w, hs.length)).min)
+        .distinct.sorted
+    }
+    d.collect().foreach { r =>
+      assert(fps(r.getLong(0)) == scalarWinnow(r.getString(1), 8, 4),
+        s"winnowMd5 mismatch for ${r.getLong(0)}")
     }
   }
 
