@@ -45,6 +45,13 @@ object Graft {
   final case class Rm3Params(fbDocs: Int = 10, fbTerms: Int = 10,
                              alpha: Double = 0.5)
 
+  /** More-Like-This retrieval-mode knob for [[run]]: each query's TEXT is
+    * treated as a free-text seed document (Lucene MLT `like(text)`) —
+    * tokenized into a pseudo doc vector, cut to the `maxTerms` highest
+    * tf·idf terms, retrieved weighted.
+    */
+  final case class MltParams(maxTerms: Int = 25)
+
   def buildIndex(spark: SparkSession, corpus: DataFrame, indexDir: String,
                  cfg: IndexBuilder.Config = IndexBuilder.Config()): BM25Index = {
     IndexBuilder.build(spark, corpus, indexDir, cfg)
@@ -81,6 +88,26 @@ object Graft {
                 alpha: Double = 0.5,
                 docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
     query.Rm3.searchIndexed(index, queries, k, fbDocs, fbTerms, alpha, docFilter)
+
+  /** More-Like-This retrieval from SEED DOC IDS (`seedDocIds`: a frame
+    * with a `docId` column): top-k docs most similar to each seed, ranked
+    * by its stored doc vector's top tf·idf terms. Seeds are excluded from
+    * their own result lists by default (each seed otherwise ranks itself
+    * first); `docFilter` additionally restricts every seed's candidates.
+    */
+  def searchMlt(index: BM25Index, seedDocIds: DataFrame, k: Int = 1000,
+                maxTerms: Int = 25, excludeSeeds: Boolean = true,
+                docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    query.MoreLikeThis.searchIndexed(index, seedDocIds, k, maxTerms,
+      docFilter, excludeSeeds = excludeSeeds)
+
+  /** More-Like-This retrieval from FREE TEXT (`seeds`: (qid, text)):
+    * Lucene MLT `like(text)` — the text becomes a pseudo doc vector.
+    */
+  def searchMltText(index: BM25Index, seeds: DataFrame, k: Int = 1000,
+                    maxTerms: Int = 25,
+                    docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    query.MoreLikeThis.searchIndexedText(index, seeds, k, maxTerms, docFilter)
 
   def evaluate(results: DataFrame, qrels: DataFrame,
                cutoffs: Seq[Int] = eval.TrecEval.DefaultCutoffs): DataFrame =
@@ -171,11 +198,14 @@ object Graft {
     * valid but recomputes retrieval if re-consumed; persist it yourself if
     * you iterate over it repeatedly.
     *
-    * Retrieval mode: pass `rm3 = Some(Rm3Params(...))` to retrieve with
-    * BM25+RM3 pseudo-relevance feedback instead of plain BM25; the report's
-    * model name then defaults to "graft-rm3" (override via `model`), so
-    * `bench.Analysis` pivots compare BM25 vs BM25+RM3 rows the way the
-    * reference's analysis compares engines.
+    * Retrieval mode: pass `rm3 = Some(Rm3Params(...))` for BM25+RM3
+    * pseudo-relevance feedback, or `mlt = Some(MltParams(...))` for
+    * free-text More-Like-This over the query text, instead of plain BM25
+    * (the modes are mutually exclusive); the report's model name then
+    * defaults to "graft-rm3"/"graft-mlt" (override via `model`), so
+    * `bench.Analysis` pivots compare BM25 / BM25+RM3 / MLT rows the way
+    * the reference's analysis compares engines
+    * (analysis/combine_results.py:150-184).
     */
   def run(spark: SparkSession,
           corpus: DataFrame, queries: DataFrame, qrels: DataFrame,
@@ -187,10 +217,14 @@ object Graft {
           dataset: String = "synthetic",
           resultDir: Option[String] = None,
           filterQueriesByQrels: Boolean = true,
-          rm3: Option[Rm3Params] = None): Run = {
+          rm3: Option[Rm3Params] = None,
+          mlt: Option[MltParams] = None): Run = {
+    require(rm3.isEmpty || mlt.isEmpty,
+      "rm3 and mlt retrieval modes are mutually exclusive")
     val modelName =
       if (model.nonEmpty) model
       else if (rm3.isDefined) "graft-rm3"
+      else if (mlt.isDefined) "graft-mlt"
       else "graft-spark"
     val timer = new Timer()
 
@@ -212,10 +246,13 @@ object Graft {
     val numQueries = evalQueries.count()
 
     timer.start("query")
-    val results = (rm3 match {
-        case None => search(index, evalQueries, k)
-        case Some(p) =>
+    val results = ((rm3, mlt) match {
+        case (Some(p), _) =>
           searchRm3(index, evalQueries, k, p.fbDocs, p.fbTerms, p.alpha)
+        case (_, Some(p)) =>
+          searchMltText(index,
+            evalQueries.selectExpr("qid", "query as text"), k, p.maxTerms)
+        case _ => search(index, evalQueries, k)
       })
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nHits = results.count() // materialize inside the timed span

@@ -534,6 +534,29 @@ object DriverQueries {
        |       round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 4) AS avgdl
        |FROM ftok""".stripMargin
 
+  /** T5 snowball stemming against the committed fixture of PUBLISHED
+    * snowballstem.org English (voc, output) pairs (the same vectors
+    * SnowballEnStemmerSpec asserts; SURVEY.md §5.2/§7.5 names the stemmer
+    * the top parity risk, and this row puts it under the driver's value
+    * check, not just ScalaTest). Each vocabulary term runs the FULL
+    * production pipeline (T1-T5 — Tokenizer.tokens with stemming) as a
+    * one-word document; the oracle reads the fixture's published outputs,
+    * excluding the terms the pipeline's earlier stages drop (stopwords,
+    * single-char tokens), so the row also pins stop-before-stem order.
+    */
+  private val stemFixture = "/root/repo/fixtures/snowball_en_vectors.parquet"
+
+  def stemVectors(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(stemFixture)
+      .select(col("term"),
+        explode(Tokenizer.tokens(col("term"), Tokenizer.TokenPattern,
+          stem = true)).as("stem"))
+
+  val stemVectorsSql: String =
+    s"""SELECT term, stem_expected AS stem
+       |FROM read_parquet('$stemFixture')
+       |WHERE term NOT IN $stopSql AND len(term) >= 2""".stripMargin
+
   // ---- relational analogues of the analysis pipeline --------------------
 
   /** Partial+final hash agg with several aggregate kinds (reference
@@ -648,6 +671,7 @@ object DriverQueries {
     "tok_doclen" -> (tokDoclen _),
     "term_df" -> (termDf _),
     "corpus_stats" -> (corpusStats _),
+    "stem_vectors" -> (stemVectors _),
     "q1_agg" -> (q1Agg _),
     "q2_join_agg" -> (q2JoinAgg _),
     "q3_window_topk" -> (q3WindowTopk _),
@@ -670,6 +694,7 @@ object DriverQueries {
     "tok_doclen" -> tokDoclenSql,
     "term_df" -> termDfSql,
     "corpus_stats" -> corpusStatsSql,
+    "stem_vectors" -> stemVectorsSql,
     "q1_agg" -> q1AggSql,
     "q2_join_agg" -> q2JoinAggSql,
     "q3_window_topk" -> q3WindowTopkSql,

@@ -158,7 +158,7 @@ object IndexBuilder {
     * and its pre-write sort orders ~numDocs packed rows instead of the full
     * token table — measured ~22% of index build as row-per-term in round 5.
     */
-  final case class DocVecRow(docIntId: Long, salt: Int,
+  final case class DocVecRow(docIntId: Long, salt: Int, len: Long,
                              terms: Array[String], tfs: Array[Long])
 
   /** Streaming per-partition packer over (docIntId, term, tf) rows: groups
@@ -178,12 +178,18 @@ object IndexBuilder {
       val id = it.head.getLong(0)
       val terms = scala.collection.mutable.ArrayBuffer.empty[String]
       val tfs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var len = 0L
       while (it.hasNext && it.head.getLong(0) == id) {
         val r = it.next()
         terms += r.getString(1)
-        tfs += r.getLong(2)
+        val tf = r.getLong(2)
+        tfs += tf
+        len += tf
       }
-      DocVecRow(id, (id >>> SaltShift).toInt, terms.toArray, tfs.toArray)
+      // len (Σtf) rides on the packed row so the docs stage reads doc
+      // lengths as a two-column pruned scan — no array decode, no
+      // token-table re-aggregation
+      DocVecRow(id, (id >>> SaltShift).toInt, len, terms.toArray, tfs.toArray)
     }
   }
 
@@ -222,11 +228,15 @@ object IndexBuilder {
     implicit val enc = org.apache.spark.sql.Encoders.product[DocVecRow]
     val packed = segments.select(col("docIntId"), col("term"), col("tf"))
       .mapPartitions(rows => new DocVecPacker(rows))
+    // NO shuffle: each scan partition covers a near-contiguous docIntId
+    // range (segment files are written doc-contiguously), so after the
+    // map-side pack a partition holds ~numDocs/P packed rows touching only
+    // 1-2 salt values — the dynamic-partition writer sends them straight to
+    // their salt dirs (a handful of files per dir, each docIntId-sorted so
+    // row-group min/max pruning stays tight). The sort is over packed rows,
+    // three orders of magnitude fewer than the row-per-term layout sorted.
     val n = writeCounted(
       packed.toDF()
-        .repartition(P, col("salt"))
-        // packed rows: ~numDocs/P per task — this sort is over three orders
-        // of magnitude fewer rows than the row-per-term layout sorted
         .sortWithinPartitions("salt", "docIntId"),
       s"$indexDir/docvecs", partitionCols = Seq("salt"))
     store.commit(PartitionCommit("docvecs", Seq("docvecs"), n,
@@ -338,16 +348,19 @@ object IndexBuilder {
     // ---- stage 2: docs table (docId, len) + global stats.
     if (!store.committedGroups().contains("docs")) {
       val s = System.nanoTime()
-      // doc lengths: with stored doc vectors, Σtf comes from the PACKED
-      // docvecs table (~numDocs array rows — a per-doc array fold plus a
-      // near-no-op agg that only merges split-straddle partials) instead of
-      // re-scanning and shuffle-aggregating the full token table; the
-      // vectorless build keeps the token-table aggregation.
+      // doc lengths: with stored doc vectors, Σtf was already folded into
+      // the packed rows' len column — a TWO-COLUMN pruned scan of ~numDocs
+      // rows (no array decode, no token-table re-aggregation; the groupBy
+      // only merges split-straddle partials). The vectorless build keeps
+      // the token-table aggregation.
+      // (an EMPTY docvecs write leaves a schemaless partitioned dir —
+      // fall back to the token table, itself empty then)
+      val docvecsNonEmpty = cfg.storeDocVectors &&
+        store.readCommits().exists(c => c.group == "docvecs" && c.rowCount > 0)
       val lens =
-        (if (cfg.storeDocVectors)
+        (if (docvecsNonEmpty)
            spark.read.parquet(s"$indexDir/docvecs")
-             .select(col("docIntId"),
-               aggregate(col("tfs"), lit(0L), (a, x) => a + x).as("tf"))
+             .select(col("docIntId"), col("len").as("tf"))
          else segments.select(col("docIntId"), col("tf")))
           .groupBy("docIntId").agg(sum("tf").as("len"))
       // shuffle-hash, not sort-merge: neither side needs sorting for a

@@ -137,6 +137,13 @@ object Rm3 {
     */
   def feedbackVectors(index: BM25Index, fbDocIds: DataFrame): (DataFrame, DataFrame) = {
     val spark = index.spark
+    if (index.numDocs == 0) {
+      // an empty build leaves a schemaless docvecs dir — short-circuit with
+      // correctly-typed empty frames instead of a failing parquet read
+      import spark.implicits._
+      return (Seq.empty[(String, String, Long)].toDF("docId", "term", "tf"),
+        Seq.empty[(String, Long)].toDF("docId", "dl"))
+    }
     val dim = index.docs
       .join(broadcast(fbDocIds.select("docId").distinct()), Seq("docId"))
       .select(col("docId"), col("docIntId"), col("salt"), col("len"))

@@ -119,7 +119,7 @@ class GraftSpec extends SparkTestBase {
     assert(ndcg1 == 1.0)
   }
 
-  test("run: BM25 and BM25+RM3 reports from one corpus flow through one analysis") {
+  test("run: BM25, BM25+RM3 and MLT reports from one corpus flow through one analysis") {
     import spark.implicits._
     val corpus = spark.createDataset(SynthCorpus.gen(4, 25)).toDF()
       .selectExpr("concat(repo, ':', path, '@', commit) as docId", "content")
@@ -136,16 +136,28 @@ class GraftSpec extends SparkTestBase {
     val rm3 = Graft.run(spark, corpus, queries, qrels, idxDir, k = 5,
       cutoffs = Seq(1, 10), dataset = "synth-200", resultDir = Some(resultDir),
       rm3 = Some(Graft.Rm3Params(fbDocs = 3, fbTerms = 8, alpha = 0.5)))
+    val mlt = Graft.run(spark, corpus, queries, qrels, idxDir, k = 5,
+      cutoffs = Seq(1, 10), dataset = "synth-200", resultDir = Some(resultDir),
+      mlt = Some(Graft.MltParams(maxTerms = 8)))
     qrels.unpersist()
     assert(plain.report.model == "graft-spark")
     assert(rm3.report.model == "graft-rm3")
+    assert(mlt.report.model == "graft-mlt")
     assert(rm3.results.count() > 0)
-    // both rows land in one flattened analysis table, pivotable by model
+    assert(mlt.results.count() > 0)
+    // the three retrieval modes land in one flattened analysis table,
+    // pivotable by model — the reference's engine-comparison shape
     val flat = Analysis.flattenRuns(Analysis.loadRuns(spark, resultDir))
     val byModel = flat.collect().map(r =>
       r.getAs[String]("model") -> r.getAs[Double]("ndcg@10")).toMap
-    assert(byModel.keySet == Set("graft-spark", "graft-rm3"), s"$byModel")
+    assert(byModel.keySet == Set("graft-spark", "graft-rm3", "graft-mlt"),
+      s"$byModel")
     assert(byModel.values.forall(v => v >= 0.0 && v <= 1.0))
+    // the modes are mutually exclusive knobs
+    intercept[IllegalArgumentException] {
+      Graft.run(spark, corpus, queries, qrels, idxDir, k = 5,
+        rm3 = Some(Graft.Rm3Params()), mlt = Some(Graft.MltParams()))
+    }
   }
 
   test("run: qrels-filtered query set (GenericDataLoader parity)") {

@@ -58,6 +58,51 @@ class MoreLikeThisSpec extends SparkTestBase {
       s"seed leaked into filtered MLT results: $r"))
   }
 
+  test("excludeSeeds drops each seed from its OWN list and closes rank gaps") {
+    val idx = new BM25Index(spark, indexDir)
+    val seeds = corpusDf.select("docId").limit(3)
+    val seedIds = seeds.collect().map(_.getString(0)).toSet
+    val kept = MoreLikeThis.searchIndexed(idx, seeds, k = 5, maxTerms = 10)
+      .collect().groupBy(_.getString(0))
+    val excl = MoreLikeThis.searchIndexed(idx, seeds, k = 5, maxTerms = 10,
+      excludeSeeds = true)
+      .collect().groupBy(_.getString(0))
+    assert(excl.keySet == seedIds)
+    for (sid <- seedIds) {
+      // no self-rows, ranks contiguous from 1, k respected
+      assert(excl(sid).forall(_.getString(1) != sid), s"$sid kept itself")
+      val ranks = excl(sid).map(_.getInt(3)).sorted.toSeq
+      assert(ranks == (1 to ranks.size) && ranks.size <= 5, s"$sid: $ranks")
+      // the kept-at-k list minus the self row is a PREFIX of the excluded
+      // list (which runs one deeper to backfill the freed slot); other
+      // seeds' docs remain — exclusion is per-seed, not global
+      val keptMinusSelf = kept(sid).filter(_.getString(1) != sid)
+        .sortBy(_.getInt(3)).map(_.getString(1)).toSeq
+      assert(excl(sid).sortBy(_.getInt(3)).map(_.getString(1))
+        .take(keptMinusSelf.size).toSeq == keptMinusSelf,
+        s"$sid order changed")
+    }
+  }
+
+  test("free-text seeds: a seed doc's own content retrieves that doc first") {
+    import spark.implicits._
+    val idx = new BM25Index(spark, indexDir)
+    // seed text = the content of 3 known docs — the pseudo-vector path
+    // should rank the source doc first, mirroring docId-seed self-retrieval
+    val picked = corpusDf.limit(3).collect()
+    val seeds = picked.map(r => (r.getString(0), r.getString(1))).toSeq
+      .toDF("qid", "text")
+    val res = MoreLikeThis.searchIndexedText(idx, seeds, k = 5, maxTerms = 25)
+      .collect().groupBy(_.getString(0))
+    for ((qid, _) <- seeds.collect().map(r => (r.getString(0), ()))) {
+      val top = res(qid).minBy(_.getInt(3))
+      assert(top.getString(1) == qid, s"text seed $qid top: $top")
+    }
+    // and the facade's run-mode wrapper produces the same frame shape
+    val facade = graft.Graft.searchMltText(idx, seeds, k = 5, maxTerms = 25)
+    assert(facade.columns.toSeq == Seq("qid", "docId", "score", "rank"))
+  }
+
   test("composed driver entry: schema, seeds present, rank contiguity") {
     val df = graft.entry.DriverQueries.bm25Mlt(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
