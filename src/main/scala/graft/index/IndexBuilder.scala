@@ -201,13 +201,31 @@ object IndexBuilder {
     * re-read of what was just written (each saved job is a full barrier).
     */
   private def writeCounted(df: DataFrame, path: String,
-                           partitionCols: Seq[String] = Nil): Long = {
+                           partitionCols: Seq[String] = Nil,
+                           options: Map[String, String] = Map.empty): Long = {
     val obs = org.apache.spark.sql.Observation()
     val w = df.observe(obs, count(lit(1)).as("n")).write.mode("overwrite")
+      .options(options)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
     obs.get("n").asInstanceOf[Long]
   }
+
+  /** Parquet layout knobs for the docvecs table: point-lookup-shaped, not
+    * scan-shaped. A feedback fetch filters by a SCATTERED docIntId set
+    * (top-k hits land anywhere in the corpus), which row-group MIN/MAX
+    * stats cannot skip — measured: a 100-id scattered fetch read 100% of
+    * records under the default 128 MB row groups, vs 10% with 256 KB
+    * groups + a bloom filter (graft.tools.DocvecIo). Small row groups +
+    * a docIntId bloom filter make skipped-record volume ∝ nIds × rowGroup
+    * instead of ∝ table size; the cost is a few % of table size in
+    * metadata. Contiguous-range fetches keep pruning via the min/max
+    * stats as before.
+    */
+  private val DocvecsWriteOptions: Map[String, String] = Map(
+    "parquet.bloom.filter.enabled#docIntId" -> "true",
+    "parquet.bloom.filter.expected.ndv#docIntId" -> "16384",
+    "parquet.block.size" -> (1 << 20).toString)
 
   /** Write (or resume) the packed docvecs table — stored document term
     * vectors, re-clustered for per-doc random access: PACKED one row per
@@ -238,7 +256,8 @@ object IndexBuilder {
     val n = writeCounted(
       packed.toDF()
         .sortWithinPartitions("salt", "docIntId"),
-      s"$indexDir/docvecs", partitionCols = Seq("salt"))
+      s"$indexDir/docvecs", partitionCols = Seq("salt"),
+      options = DocvecsWriteOptions)
     store.commit(PartitionCommit("docvecs", Seq("docvecs"), n,
       Map("stage" -> "docvecs", "format" -> "packed"),
       (System.nanoTime() - s) / 1e9))

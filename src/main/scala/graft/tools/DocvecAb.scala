@@ -48,7 +48,10 @@ object DocvecAb {
     val dpsOff = scala.collection.mutable.ArrayBuffer.empty[Double]
     var stageSec = Double.MaxValue
     var tableMb = 0.0
-    for (r <- 1 to rounds; on <- Seq(true, false)) {
+    // alternate arm order per round: a fixed order hands the second arm a
+    // warmer JIT/page-cache every time (observed as a one-sided trend)
+    for (r <- 1 to rounds;
+         on <- if (r % 2 == 1) Seq(true, false) else Seq(false, true)) {
       val dir = s"${BenchCore.workBase}/dvab-index-$r-$on"
       graft.util.Dirs.deleteRecursively(new java.io.File(dir))
       val (_, sec) = BenchCore.time {

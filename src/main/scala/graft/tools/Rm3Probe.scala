@@ -76,7 +76,7 @@ object Rm3Probe {
       println(f"[rm3probe] first-call breakdown: pass1 $tFb%.1f s, " +
         f"docvec-fetch $tFetch%.1f s, expand $tExpand%.1f s, pass2 $tPass2%.1f s")
     }
-    for (r <- 1 to 2) {
+    for (r <- 1 to sys.env.getOrElse("GRAFT_PROBE_REPS", "2").toInt) {
       val (_, tPlain) = time(QueryEngine.searchWand(idx, qdf, 100).count())
       val (_, tRm3) = time(Rm3.searchIndexed(idx, qdf, 100).count())
       val (_, tRetok) = time(
@@ -90,12 +90,13 @@ object Rm3Probe {
     // isolated (the retrieval passes are identical code): model-estimation
     // inputs for a realistic nQ×fbDocs feedback set, interleaved reps,
     // min reported (the noise-robust protocol)
+    val fetchReps = sys.env.getOrElse("GRAFT_PROBE_FETCH_REPS", "5").toInt
     val fbBig = idx.docs.select("docId")
       .limit(nQ * 10).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fbBig.count()
     val storedT = scala.collection.mutable.ArrayBuffer.empty[Double]
     val retokT = scala.collection.mutable.ArrayBuffer.empty[Double]
-    for (_ <- 1 to 5) {
+    for (_ <- 1 to fetchReps) {
       storedT += time {
         val (docTf, _) = Rm3.feedbackVectors(idx, fbBig)
         docTf.count()
@@ -112,34 +113,56 @@ object Rm3Probe {
     }
     fbBig.unpersist()
     def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("/")
-    println(f"[rm3probe] model-estimation fetch, ${nQ * 10} feedback docs: " +
-      f"stored-vectors min ${storedT.min}%.1f s (reps ${fmt(storedT.toSeq)}), " +
-      f"retokenize min ${retokT.min}%.1f s (reps ${fmt(retokT.toSeq)}), " +
-      f"speedup ${retokT.min / storedT.min}%.2fx")
+    if (storedT.nonEmpty)
+      println(f"[rm3probe] model-estimation fetch, ${nQ * 10} feedback docs: " +
+        f"stored-vectors min ${storedT.min}%.1f s (reps ${fmt(storedT.toSeq)}), " +
+        f"retokenize min ${retokT.min}%.1f s (reps ${fmt(retokT.toSeq)}), " +
+        f"speedup ${retokT.min / storedT.min}%.2fx")
 
-    // --- pruned-fetch read volume: bytes read by the docTf job vs table size
-    val fbIds = idx.docs.select("docId").limit(1000) // 100 queries × 10 fbDocs
-    val bytes = new java.util.concurrent.atomic.AtomicLong()
-    val rows = new java.util.concurrent.atomic.AtomicLong()
-    val listener = new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
-        rows.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    val (nVec, tFetch) = time {
-      val (docTf, _) = Rm3.feedbackVectors(idx, fbIds)
-      docTf.count()
-    }
-    spark.sparkContext.removeSparkListener(listener)
+    // --- pruned-fetch read volume, RECORDS read vs table records (the
+    // valid observable: FileScanRDD's bytesRead on local files is split-
+    // size accounting, ~100% regardless of pruning — see DocvecIo). Seed
+    // ids are materialized in-memory and the docs dimension warmed first,
+    // so the listener window attributes records to the docvecs scan alone.
+    // Both fetch shapes measured: CONTIGUOUS ids (min/max row-group stats
+    // prune) and SCATTERED ids (the realistic RM3 shape — top-k feedback
+    // docs land anywhere; pruning here rides the docIntId bloom filter +
+    // 1 MB row groups the docvecs writer configures).
+    import spark.implicits._
+    idx.docs.count() // docs dimension cache warm (it is persisted)
+    val allIds = idx.docs.select("docId", "docIntId").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    val totalRecs = spark.read.parquet(s"$idxDir/docvecs").count()
     def du(f: java.io.File): Long =
       if (f.isDirectory) f.listFiles().map(du).sum else f.length()
     val total = du(new java.io.File(s"$idxDir/docvecs"))
-    println(f"[rm3probe] docvec fetch: 1000 seed docs -> $nVec vector rows in " +
-      f"$tFetch%.2f s; job read ${bytes.get / 1e6}%.1f MB / ${rows.get} records " +
-      f"(docvecs table on disk: ${total / 1e6}%.1f MB) = " +
-      f"${bytes.get * 100.0 / math.max(1, total)}%.1f%% of the table")
+    for ((shape, ids) <- Seq(
+        ("contiguous", allIds.slice(1000, 2000).map(_._1).toSeq),
+        ("scattered", (0 until 1000).map(i =>
+          allIds((i.toLong * allIds.length / 1000).toInt)._1)))) {
+      val fbIds = ids.toDF("docId")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fbIds.count()
+      locally { // warm run outside the listener window: footer caches
+        val (w, _) = Rm3.feedbackVectors(idx, fbIds); w.count()
+      }
+      val rows = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          rows.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val (nVec, tFetch) = time {
+        val (docTf, _) = Rm3.feedbackVectors(idx, fbIds)
+        docTf.count()
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      fbIds.unpersist()
+      println(f"[rm3probe] docvec fetch ($shape%10s): 1000 seeds -> $nVec " +
+        f"tf rows in $tFetch%.2f s; read ${rows.get} of $totalRecs packed " +
+        f"records (${rows.get * 100.0 / math.max(1, totalRecs)}%.1f%%; " +
+        f"table ${total / 1e6}%.1f MB on disk)")
+    }
     spark.stop()
   }
 }

@@ -333,6 +333,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(new graft.store.IcebergLikeStore(dir).readProperties() == before)
   }
 
+  test("ivf recall-vs-nProbe sweep: monotone to 1.0 at full probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val data = clustered(204, 16)
+    val corpus = data.drop(4).toDF("id", "embedding")
+    val queries = data.take(4).toDF("qid", "embedding")
+    val dir = tmpDir("graft-ivfsweep")
+    Similarity.ivfBuild(corpus, dir, nCells = 8)
+    val idx = Similarity.ivfOpen(spark, dir)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = Seq(1, 2, 4, 8).map { nProbe =>
+      val got = Similarity.ivfSearch(idx, queries, k = 10, nProbe = nProbe)
+        .select(col("qid"), col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      nProbe -> got.intersect(exact).size.toDouble / exact.size
+    }
+    // recall never degrades as probes widen, and probing EVERY cell is
+    // exhaustive search — recall exactly 1.0 (sanity anchor of the sweep)
+    recalls.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra - 1e-9, s"recall fell $pa->$pb: $recalls")
+    }
+    assert(recalls.last._2 == 1.0, s"full probe not exhaustive: $recalls")
+    assert(recalls.head._2 > 0.3, s"nProbe=1 recall degenerate: $recalls")
+  }
+
   test("ivf centroids are the md5-smallest ids (oracle-reproducible rule)") {
     import spark.implicits._
     val data = clustered(40, 8)
