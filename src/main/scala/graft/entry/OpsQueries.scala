@@ -739,6 +739,49 @@ object OpsQueries {
 
   val bm25MltIndexedSql: String = DriverQueries.mltTopkSqlFor(quantContribSqlW)
 
+  /** FREE-TEXT More-Like-This through the engine (Lucene `like(text)`,
+    * round-6 stretch): the fixed query TEXTS act as seed documents —
+    * tokenized through the index's analyzer into pseudo doc vectors,
+    * tf·idf-cut to 25 terms on the 6-dp-rounded weight, retrieved via
+    * searchWandWeighted. The DuckDB twin derives the same weights from
+    * the base chain's qtf CTE (query-text term counts × lucene idf) and
+    * quantizes scoring impacts through REAL like every indexed oracle.
+    * All-stopword/OOV query texts (q03 partially, q07 fully) shed terms
+    * identically on both sides.
+    */
+  def bm25MltTextIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = new graft.query.BM25Index(spark, indexedDir(spark, sfDir))
+    import spark.implicits._
+    val seeds = DriverQueries.bm25Queries.toDF("qid", "text")
+    rerankRounded(graft.query.MoreLikeThis.searchIndexedText(idx, seeds,
+      indexedRawK, maxTerms = DriverQueries.mltMaxTerms, weightScale = 6))
+  }
+
+  val bm25MltTextIndexedSql: String = {
+    val contrib = quantContribSqlW("wts.qtf")
+    s"""WITH ${DriverQueries.bm25BaseCtes},
+       |tw0 AS (SELECT qtf.qid, qtf.term,
+       |          round(qtf.qtf::DOUBLE
+       |            * ln(1.0 + (stats.n - dft.df + 0.5)/(dft.df + 0.5)), 6) AS w
+       |        FROM qtf JOIN dft USING (term) CROSS JOIN stats),
+       |twts AS (SELECT qid, term, w AS qtf FROM (
+       |          SELECT qid, term, w,
+       |            row_number() OVER (PARTITION BY qid ORDER BY w DESC, term ASC) AS rn
+       |          FROM tw0) WHERE rn <= ${DriverQueries.mltMaxTerms} AND w > 0),
+       |scoredt AS (
+       |  SELECT wts.qid, tf.doc_id, round(sum($contrib), 4) AS score
+       |  FROM twts wts
+       |  JOIN tf USING (term) JOIN dft USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1,2),
+       |rr AS (SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+       |       FROM scoredt)
+       |SELECT qid, doc_id, score, rank::INT AS rank
+       |FROM rr WHERE rank <= ${DriverQueries.bm25TopK}
+       |""".stripMargin
+  }
+
   /** Same float32-quantized chain, ranked over the filtered candidate set
     * (stats global — the filter touches only the ranking input).
     */
@@ -777,7 +820,8 @@ object OpsQueries {
     "bm25_topk_indexed" -> (bm25TopkIndexed _),
     "bm25_topk_filtered_indexed" -> (bm25TopkFilteredIndexed _),
     "bm25_rm3_indexed" -> (bm25TopkRm3Indexed _),
-    "bm25_mlt_indexed" -> (bm25MltIndexed _))
+    "bm25_mlt_indexed" -> (bm25MltIndexed _),
+    "bm25_mlt_text_indexed" -> (bm25MltTextIndexed _))
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -805,5 +849,6 @@ object OpsQueries {
     "bm25_topk_indexed" -> bm25TopkIndexedSql,
     "bm25_rm3_indexed" -> bm25TopkRm3IndexedSql,
     "bm25_mlt_indexed" -> bm25MltIndexedSql,
+    "bm25_mlt_text_indexed" -> bm25MltTextIndexedSql,
     "bm25_topk_filtered_indexed" -> bm25TopkFilteredIndexedSql)
 }
