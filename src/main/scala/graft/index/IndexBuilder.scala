@@ -227,6 +227,21 @@ object IndexBuilder {
     "parquet.bloom.filter.expected.ndv#docIntId" -> "16384",
     "parquet.block.size" -> (1 << 20).toString)
 
+  /** Same point-lookup layout for the postings table, keyed by term: a
+    * query batch's distinct terms are SCATTERED across the term-sorted row
+    * groups, so with default 128 MB groups the candidate scan read 100% of
+    * posting rows per batch (graft.tools.PostingsIo: 736k records for
+    * 1,312 matching rows at 480k docs). Term bloom filter + 1 MB row
+    * groups: 6.0% of records, 4× faster scan, table no larger — and the
+    * fraction keeps falling with corpus size (IO ∝ nTerms × rowGroup).
+    * Bucket partition pruning and the In(term) row-group stats pruning
+    * for narrow term sets are unchanged.
+    */
+  private val PostingsWriteOptions: Map[String, String] = Map(
+    "parquet.bloom.filter.enabled#term" -> "true",
+    "parquet.bloom.filter.expected.ndv#term" -> "16384",
+    "parquet.block.size" -> (1 << 20).toString)
+
   /** Write (or resume) the packed docvecs table — stored document term
     * vectors, re-clustered for per-doc random access: PACKED one row per
     * doc BEFORE the shuffle (so the salt shuffle moves ~numDocs array rows,
@@ -452,12 +467,21 @@ object IndexBuilder {
       val encoded = sorted.mapPartitions(rows =>
         new RunEncoder(p, numDocs, avgdl, rows))
       val rows = writeCounted(
-        // re-sort the (small: one row per posting list) encoded output by
-        // real term order: files get tight term min/max per row group, so
-        // the query-side In(term) pushdown skips row groups; also satisfies
-        // the partition writer's ordering requirement (no writer sort)
-        encoded.toDF().sortWithinPartitions("bucket", "term", "salt"),
-        s"$indexDir/postings", partitionCols = Seq("bucket"))
+        // re-cluster the (small: one row per posting list) encoded output
+        // BY BUCKET, term-sorted: one term-contiguous file per bucket whose
+        // 1 MB row groups carry tight term min/max, so the query-side
+        // In(term) pushdown prunes row groups even for scattered term sets
+        // (the per-shuffle-task files the previous layout produced each
+        // spanned the bucket's whole term range — measured as a 100%
+        // postings scan per batch, graft.tools.PostingsIo). The extra
+        // exchange moves only the encoded rows, a few % of the original
+        // token volume; also satisfies the partition writer's ordering
+        // requirement (no writer sort).
+        encoded.toDF()
+          .repartition(col("bucket"))
+          .sortWithinPartitions("bucket", "term", "salt"),
+        s"$indexDir/postings", partitionCols = Seq("bucket"),
+        options = PostingsWriteOptions)
       store.commit(PartitionCommit("postings", Seq("postings"), rows,
         Map("stage" -> "postings", "buckets" -> cfg.numBuckets.toString),
         (System.nanoTime() - s) / 1e9))
