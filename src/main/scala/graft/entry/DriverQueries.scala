@@ -61,11 +61,16 @@ object DriverQueries {
   private val topK = 10
 
   /** Shared composed-pipeline inputs: tokenized-corpus aggregates plus the
-    * fixed query set tokenized. The token table is persisted because three
-    * consumers (tf→df, dl, and the scoring join) would otherwise re-run
-    * tokenize per branch; released by the driver's per-query cache clear.
+    * fixed query set tokenized. The per-doc tf table is persisted because
+    * three consumers (the scoring join, df, and dl) would otherwise re-run
+    * tokenize+aggregate per branch; released by the driver's per-query
+    * cache clear. dl and the global token count derive from tf (Σtf per
+    * doc / overall — identical to counting exploded token rows), so the
+    * corpus is tokenized exactly ONCE per entry (r7: the old shape ran a
+    * second full tokenize pass just for the stats row, and persisted the
+    * pre-aggregation exploded token table — guide §1.2/§2.3).
     */
-  private case class ComposedInputs(tf: DataFrame, dft: DataFrame,
+  private[entry] case class ComposedInputs(tf: DataFrame, dft: DataFrame,
       dl: DataFrame, nDocs: Long, avgdl: Double, qtf: DataFrame) {
     /** One weighted scoring pass: join weights (qid, term, qtf) against the
       * corpus aggregates, contribution = weight × impact, 4-dp-rounded sum
@@ -82,25 +87,27 @@ object DriverQueries {
     }
   }
 
-  private def composedInputs(spark: SparkSession, sfDir: String): ComposedInputs = {
+  private[entry] def composedInputs(spark: SparkSession, sfDir: String): ComposedInputs = {
     val docs = t(spark, sfDir, "documents")
-    val ftok = docs.select(col("doc_id"),
+    val tf = docs.select(col("doc_id"),
       explode(asciiTokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tf = ftok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = ftok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    // one action for both global stats (docs with zero tokens still count)
-    val statsRow = docs
-      .select(col("doc_id"), size(asciiTokens(col("text"))).cast("long").as("n_tok"))
-      .agg(count(lit(1)), sum(col("n_tok"))).head()
-    val nDocs = statsRow.getLong(0)
+    // dl = Σtf per doc ≡ count of exploded token rows per doc
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // global stats WITHOUT a second tokenize pass: nDocs is a metadata-only
+    // parquet count (docs with zero tokens still count), the token total is
+    // Σtf over the (persisted) tf table — this action also materializes the
+    // cache for every downstream consumer
+    val nDocs = docs.count()
+    val nTokRow = tf.agg(sum("tf")).head()
+    val nTokens = if (nTokRow.isNullAt(0)) 0L else nTokRow.getLong(0)
     import spark.implicits._
     val q = bm25Queries.toDF("qid", "qtext")
     val qtf = q.select(col("qid"), explode(asciiTokens(col("qtext"))).as("term"))
       .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
-    ComposedInputs(tf, dft, dl, nDocs,
-      statsRow.getLong(1).toDouble / nDocs, qtf)
+    ComposedInputs(tf, dft, dl, nDocs, nTokens.toDouble / nDocs, qtf)
   }
 
   /** Composed declarative BM25 (double math end-to-end), parameterized by
@@ -111,8 +118,17 @@ object DriverQueries {
     */
   def bm25TopkMethod(spark: SparkSession, sfDir: String,
                      p: graft.score.BM25Params,
-                     docPred: Option[Column] = None): DataFrame = {
-    val in = composedInputs(spark, sfDir)
+                     docPred: Option[Column] = None): DataFrame =
+    bm25TopkFrom(composedInputs(spark, sfDir), p, docPred)
+
+  /** The ranked top-k over an existing input chain — entries that score the
+    * same corpus twice (the fusion pair, eval_metrics) share ONE tokenize +
+    * aggregate chain through this instead of re-deriving composedInputs per
+    * run (r7; guide §2.4 — two operations keyed the same way share one
+    * exchange, here they share the whole persisted tf table).
+    */
+  private[entry] def bm25TopkFrom(in: ComposedInputs, p: graft.score.BM25Params,
+                                  docPred: Option[Column] = None): DataFrame = {
     val scored = in.scorePass(in.qtf, p)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
     // filtered retrieval (Lucene filter-query semantics): the predicate
@@ -293,10 +309,13 @@ object DriverQueries {
     * robertson idf) over the same query set — the rank-only fusion shape
     * used to combine retrievers with incomparable score scales.
     */
-  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame =
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = composedInputs(spark, sfDir)
     graft.ops.Fusion.rrf(
-      Seq(bm25TopkComposed(spark, sfDir), bm25TopkRobertson(spark, sfDir)),
+      Seq(bm25TopkFrom(in, graft.score.BM25Params()),
+        bm25TopkFrom(in, graft.score.BM25Params(method = "robertson"))),
       k = topK, c = 60)
+  }
 
   val hybridRrfSql: String =
     s"""WITH $bm25BaseCtes,
@@ -317,10 +336,13 @@ object DriverQueries {
     * query, then |runs retrieving d| × Σ normalized-score. Exercises the
     * score-magnitude fusion path the rank-only RRF cannot.
     */
-  def hybridCombmnz(spark: SparkSession, sfDir: String): DataFrame =
+  def hybridCombmnz(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = composedInputs(spark, sfDir)
     graft.ops.Fusion.combSum(
-      Seq(bm25TopkComposed(spark, sfDir), bm25TopkRobertson(spark, sfDir)),
+      Seq(bm25TopkFrom(in, graft.score.BM25Params()),
+        bm25TopkFrom(in, graft.score.BM25Params(method = "robertson"))),
       k = topK, mnz = true)
+  }
 
   /** Min-max-normalize `score` within each qid of `src` (all-equal → 1.0),
     * the SQL twin of Fusion.combSum's per-run normalization.
@@ -544,7 +566,10 @@ object DriverQueries {
     * excluding the terms the pipeline's earlier stages drop (stopwords,
     * single-char tokens), so the row also pins stop-before-stem order.
     */
-  private val stemFixture = "/root/repo/fixtures/snowball_en_vectors.parquet"
+  // env-overridable for clones outside /root/repo (r6 ADVICE); the default
+  // renders the same literal path into the oracle SQL as before
+  private val stemFixture = sys.env.getOrElse("SPARK_GRAFT_FIXTURES_DIR",
+    "/root/repo/fixtures") + "/snowball_en_vectors.parquet"
 
   def stemVectors(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(stemFixture)

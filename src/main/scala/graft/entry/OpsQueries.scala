@@ -509,19 +509,18 @@ object OpsQueries {
     * metrics are non-trivial and fully deterministic.
     */
   def evalMetrics(spark: SparkSession, sfDir: String): DataFrame = {
-    val res = DriverQueries.bm25TopkComposed(spark, sfDir)
+    // ONE composed input chain feeds both the ranking under evaluation and
+    // the tf-derived qrels (r7: previously the corpus was tokenized three
+    // times — twice inside bm25TopkComposed, once more for the qrels tf
+    // table; guide §1.2 "don't compute things you throw away"). The qrels
+    // score Σtf over exploded query tokens equals Σ qtf·tf over the grouped
+    // query terms — exact integer arithmetic either way.
+    val in = DriverQueries.composedInputs(spark, sfDir)
+    val res = DriverQueries.bm25TopkFrom(in, graft.score.BM25Params())
       .select(col("qid"), col("doc_id").cast("string").as("docId"), col("score"))
     // qrels: top-3 docs by raw summed tf per query, grades 3/2/1
-    val d = docs(spark, sfDir)
-    val ftok = d.select(col("doc_id"),
-      explode(Tokenizer.tokensNoStem(col("text"), Tokenizer.AsciiTokenPattern)).as("term"))
-    val tf = ftok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    import spark.implicits._
-    val q = DriverQueries.bm25Queries.toDF("qid", "qtext")
-    val qt = q.select(col("qid"),
-      explode(Tokenizer.tokensNoStem(col("qtext"), Tokenizer.AsciiTokenPattern)).as("term"))
-    val tfScore = qt.join(tf, "term").groupBy("qid", "doc_id")
-      .agg(sum("tf").as("s"))
+    val tfScore = in.qtf.join(in.tf, "term").groupBy("qid", "doc_id")
+      .agg(sum(col("qtf") * col("tf")).as("s"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("s").desc, col("doc_id").asc)
     val qrels = tfScore.withColumn("r", row_number().over(w)).where(col("r") <= 3)

@@ -194,39 +194,35 @@ object Dedup {
   // use the default family at scale, this one where end-to-end SQL
   // verifiability matters.
 
-  /** First 16 hex chars of md5 read big-endian as a signed 64-bit value —
-    * bit-identical to DuckDB's `('0x' || substr(md5(x), 1, 16))::UBIGINT`
-    * reinterpreted signed. Built from two 32-bit conv() halves (conv
-    * returns an unsigned decimal string, so a single 16-char parse would
-    * overflow the long).
-    */
-  private def md5Long64(s: Column): Column = {
-    val h = md5(s.cast("binary"))
-    shiftleft(conv(substring(h, 1, 8), 16, 10).cast("long"), 32)
-      .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast("long"))
-  }
-
   /** [[minhashLsh]] with the md5 hash family: signature component j = the
     * MINIMUM md5 hex string of `"j:" + shingle` over the doc's shingles
     * (string order — identical in every engine); band hash = md5 of the
     * band's comma-joined components. Same banding/candidate/estimate
     * pipeline, fully recomputable by the DuckDB oracle.
+    *
+    * r7: the signature is a native single-pass expression over the shingle
+    * ARRAY (MinHashSigMd5Expr) instead of an explode + 32-way min(string)
+    * aggregation — min(string) plans as SortAggregate (string aggregation
+    * buffers are not HashAggregate-mutable), which sorted and shuffled the
+    * full exploded shingle table twice per call. The per-row kernel
+    * computes identical values with NO shuffle (guide §1.2 step 1 /
+    * §2.4) and stays embarrassingly parallel at any corpus size.
     */
   def minhashLshMd5(docs: DataFrame, tokens: Column, idCol: String,
                     n: Int = 3, m: Int = 32, bands: Int = 8,
                     threshold: Double = 0.5, roundTo: Int = 6): DataFrame = {
     require(m % bands == 0)
     val r = m / bands
-    val shd = docs.select(col(idCol).as("id"), explode(shingles(tokens, n)).as("sh"))
-    // m min-aggregates in ONE partial+final hash agg pass — the same
-    // map-side-combine shape as the signature kernel, no per-doc windows
-    val sigCols = (0 until m).map(j =>
-      min(md5(concat_ws(":", lit(j.toString), col("sh")).cast("binary"))).as(s"s$j"))
-    val signed = shd.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    // empty shingle sets drop out, as the explode-based shape did implicitly
+    val signed = docs.select(col(idCol).as("id"), shingles(tokens, n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"),
+        graft.ops.expr.OpsExprs.minhashSigMd5(col("sh"), m).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = signed.select(col("id"),
       posexplode(array((0 until bands).map { bnd =>
-        md5(concat_ws(",", (0 until r).map(j => col(s"s${bnd * r + j}")): _*)
+        md5(concat_ws(",",
+          (0 until r).map(j => element_at(col("sig"), bnd * r + j + 1)): _*)
           .cast("binary"))
       }: _*)).as(Seq("band", "bh")))
     val a = banded.as("a"); val b = banded.as("b")
@@ -235,35 +231,27 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val agree = (0 until m)
-      .map(j => when(col(s"sa.s$j") === col(s"sb.s$j"), 1).otherwise(0))
-      .reduce(_ + _)
     cand
       .join(signed.as("sa"), col("id_a") === col("sa.id"))
       .join(signed.as("sb"), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"),
-        round(agree.cast("double") / m, roundTo).as("est_jaccard"))
+        round(graft.ops.expr.OpsExprs.sigAgreeStr(col("sa.sig"), col("sb.sig"))
+          .cast("double") / m, roundTo).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }
 
   /** md5-family SimHash signatures: (id, sh LONG) — per-bit ±1 votes of
-    * [[md5Long64]] token hashes, computed as 64 conditional sums in one
-    * partial+final hash agg over the exploded tokens (no per-doc state).
-    * Docs with zero tokens produce no row (no bits to vote).
+    * [[md5Long64]] token hashes. Docs with zero tokens produce no row (no
+    * bits to vote).
+    *
+    * r7: one native pass over the token ARRAY (SimHashMd5Expr) instead of
+    * explode + a 64-conditional-sum aggregation — identical values, no
+    * shuffle of the exploded token table (guide §1.2 step 1).
     */
-  def simhashMd5(docs: DataFrame, tokens: Column, idCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"), explode(tokens).as("tok"))
-      .select(col("id"), md5Long64(col("tok")).as("u"))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftrightunsigned(col("u"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$b"))
-    val bits = (0 until 64).map { b =>
-      val bitVal = if (b == 63) Long.MinValue else 1L << b
-      when(col(s"v$b") > 0, lit(bitVal)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _) // disjoint bit positions: OR == +, overflow-free
-    tok.groupBy("id").agg(votes.head, votes.tail: _*)
-      .select(col("id"), bits.as("sh"))
-  }
+  def simhashMd5(docs: DataFrame, tokens: Column, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), tokens.as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("id"), graft.ops.expr.OpsExprs.simhashMd5(col("toks")).as("sh"))
 
   /** [[simhashNearDups]] with the md5 hash family — same exact pigeonhole
     * pipeline over [[simhashMd5]] signatures. Fully SQL-recomputable: the
@@ -291,8 +279,82 @@ object Dedup {
     * @return (id, label) for every id appearing in `pairs`; label = min
     *         id of the component.
     */
+  /** Max edge rows the CC fast path may collect to the driver for a local
+    * union-find (~32 bytes/edge boxed → the default 2^20 bound caps the
+    * collect at ~32 MB transient driver heap). 0 disables the fast path.
+    */
+  def ccLocalMaxEdges(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.ccLocalMaxEdges")
+      .map(_.toInt).getOrElse(1 << 20)
+
+  /** Driver union-find over integral-id edges: label = min id of the
+    * component (smaller root wins the link + path compression), the exact
+    * fixpoint the distributed min-label loop converges to.
+    */
+  private def localComponents(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // walk to root
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    rows.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      } else if (!parent.containsKey(a)) parent.put(a, ra) // isolated self-pair
+    }
+    val ids = new java.util.HashSet[Long]()
+    rows.foreach { r => ids.add(r.getLong(0)); ids.add(r.getLong(1)) }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](ids.size)
+    val it = ids.iterator()
+    while (it.hasNext) { val id = it.next(); out += ((id, find(id))) }
+    out.toSeq
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
+    // Fast path (r7): near-dup pair lists are usually a vanishing fraction
+    // of the corpus — when the edge set fits a bounded driver collect
+    // (limit-probe, the collectAllowed pattern), a local union-find replaces
+    // the O(diameter) rounds of per-round Spark jobs (each a join + agg +
+    // checkpoint). Same (id, label = min id of component) result; larger
+    // edge sets fall through to the distributed loop unchanged. Integral id
+    // types only: the local min must use the same ordering as Spark's
+    // `min`, which is guaranteed here for int/long and not worth the risk
+    // for strings (UTF8String vs java.lang.String collation).
+    val bound = ccLocalMaxEdges(spark)
+    val integral = pairs.schema("id_a").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (bound > 0 && integral) {
+      val lim = math.min(bound.toLong + 1L, Int.MaxValue.toLong).toInt
+      val rows = pairs
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .limit(lim).collect()
+      // null ids never occur in join-produced pair lists; if one somehow
+      // does, keep the distributed loop's exact semantics by falling through
+      if (rows.length <= bound &&
+          rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+        import spark.implicits._
+        val local = localComponents(rows).toDF("id", "label")
+        return pairs.schema("id_a").dataType match {
+          case org.apache.spark.sql.types.IntegerType =>
+            local.select(col("id").cast("int").as("id"),
+              col("label").cast("int").as("label"))
+          case _ => local
+        }
+      }
+    }
     // Durability: `localCheckpoint` (executor-local blocks) is the right
     // local-mode default, but it is NOT fault-tolerant — at cluster scale
     // one executor loss invalidates the truncated lineage mid-loop. Setting

@@ -175,22 +175,15 @@ object TextAnalysis {
     * Output: (id, fingerprints ARRAY&lt;STRING&gt; sorted distinct minima).
     */
   def fingerprintsMd5(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int = 8, w: Int = 4): DataFrame = {
-    val d = docs.select(col(idCol).as("id"), lower(col(textCol)).as("t"))
+                      k: Int = 8, w: Int = 4): DataFrame =
+    // r7: one native pass per document (WinnowMd5Expr — k-gram md5s, window
+    // minima over the window STARTS i ≤ max(nk−w+1, 1), distinct, sorted)
+    // instead of position explode + a per-doc ordered window min + a
+    // collect_set aggregation, which shuffled and sorted every k-gram row
+    // (guide §1.2 step 1). Identical values; docs shorter than k still
+    // produce no row.
+    docs.select(col(idCol).as("id"), lower(col(textCol)).as("t"))
       .where(length(col("t")) >= k)
-    val kg = d
-      .select(col("id"), (length(col("t")) - (k - 1)).as("nk"), col("t"),
-        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("i"))
-      .select(col("id"), col("nk"), col("i"),
-        md5(substr(col("t"), col("i"), lit(k)).cast("binary")).as("h"))
-    val winMin = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
-    kg.withColumn("mh", min(col("h")).over(winMin))
-      // window STARTS only: i ≤ max(nk − w + 1, 1) — the trailing truncated
-      // frames are not winnowing windows (except the single degenerate one
-      // when the doc has fewer than w k-grams)
-      .where(col("i") <= greatest(col("nk") - (w - 1), lit(1)))
-      .groupBy("id")
-      .agg(sort_array(collect_set(col("mh"))).as("fingerprints"))
-  }
+      .select(col("id"),
+        graft.ops.expr.OpsExprs.winnowMd5(col("t"), k, w).as("fingerprints"))
 }

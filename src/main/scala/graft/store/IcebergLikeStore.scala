@@ -55,8 +55,27 @@ class IcebergLikeStore(tableDir: String) {
         .matcher(s)
       if (m.find()) Option(m.group(2)).getOrElse(m.group(1)) else ""
     }
+    // round-trip the metrics map: stage metadata recorded at commit time
+    // (e.g. the docvecs stage's format key) must be readable on resume —
+    // IndexBuilder derives docvecsFormat from it rather than assuming the
+    // current layout, so a legacy (pre-packed) docvecs commit resumes with
+    // its own format stamped
+    val metrics = {
+      val mm = java.util.regex.Pattern
+        .compile("\"metrics\"\\s*:\\s*\\{([^}]*)\\}").matcher(s)
+      if (!mm.find()) Map.empty[String, String]
+      else {
+        val kv = java.util.regex.Pattern
+          .compile("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"")
+          .matcher(mm.group(1))
+        val b = Map.newBuilder[String, String]
+        while (kv.find()) b += (kv.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+          -> kv.group(2).replace("\\\"", "\"").replace("\\\\", "\\"))
+        b.result()
+      }
+    }
     PartitionCommit(field("group"), Nil, field("rowCount").toLong,
-      Map("sha256" -> field("sha256")), field("elapsedSec").toDouble)
+      metrics + ("sha256" -> field("sha256")), field("elapsedSec").toDouble)
   }
 
   /** Durably record a completed partition group. */

@@ -33,6 +33,21 @@ object TokenizerKernel {
     s
   }
 
+  /** Per-thread memo of token → stemmed UTF8String. Corpus tokens are
+    * Zipf-distributed, so stemming every OCCURRENCE re-ran the multi-step
+    * Snowball rewrite on the same few thousand distinct tokens millions of
+    * times — the reference stems unique tokens only for exactly this
+    * reason (utils/__init__.py:104-126). Bounded: cleared when it exceeds
+    * 2^16 entries (a pathological all-unique-token corpus can't grow it
+    * without bound); stem() is pure, so the memo is semantics-free.
+    */
+  private val StemCacheMax = 1 << 16
+  private val stemCache =
+    new ThreadLocal[java.util.HashMap[String, UTF8String]] {
+      override def initialValue() =
+        new java.util.HashMap[String, UTF8String](1 << 12)
+    }
+
   /** @return array<string> of tokens. Lowercasing matches Spark `lower()`
     * (UTF8String.toLowerCase), so oracle-checked queries agree with SQL.
     */
@@ -41,11 +56,19 @@ object TokenizerKernel {
     val text = input.toLowerCase.toString
     val m = p.matcher(text)
     val out = new java.util.ArrayList[UTF8String]()
+    val cache = if (stem) stemCache.get() else null
     while (m.find()) {
       val t = m.group()
       if (!removeStop || !stopSet.contains(t)) {
-        val w = if (stem) SnowballEnStemmer.stem(t) else t
-        out.add(UTF8String.fromString(w))
+        if (stem) {
+          var w = cache.get(t)
+          if (w == null) {
+            if (cache.size() >= StemCacheMax) cache.clear()
+            w = UTF8String.fromString(SnowballEnStemmer.stem(t))
+            cache.put(t, w)
+          }
+          out.add(w)
+        } else out.add(UTF8String.fromString(t))
       }
     }
     new GenericArrayData(out.toArray())

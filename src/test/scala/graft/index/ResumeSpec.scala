@@ -99,6 +99,53 @@ class ResumeSpec extends SparkTestBase {
     assert(graft.query.Rm3.searchIndexed(idx, q, 5, fbDocs = 3).count() >= 0)
   }
 
+  test("resumed legacy row-per-term docvecs commit stamps docvecsFormat=rows") {
+    // r6 ADVICE (medium): a pre-round-6 partial index whose LEGACY
+    // row-per-term docvecs group is already committed must not be stamped
+    // docvecsFormat=packed on resume — Rm3's packed unpack would then fail
+    // at query time on a table without terms[]/tfs[] columns. The format is
+    // now derived from the docvecs commit's own metadata.
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("graft-legacydv")
+    val cfg = IndexBuilder.Config(numSegmentGroups = 2, numBuckets = 4)
+    IndexBuilder.build(spark, corpusDf, dir, cfg)
+    import spark.implicits._
+    val q = Seq(("q1", "merge sort")).toDF("qid", "query")
+    def rm3Rows() = graft.query.Rm3
+      .searchIndexed(new graft.query.BM25Index(spark, dir), q, 5, fbDocs = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .sorted.toSeq
+    val want = rm3Rows()
+    // devolve to the legacy on-disk state: row-per-term docvecs, a commit
+    // manifest without the format key, no _properties.json (= a pre-packed
+    // build interrupted right before finishing)
+    val legacyTmp = tmpDir("graft-legacydv-rows")
+    spark.read.parquet(s"$dir/docvecs")
+      .select(col("docIntId"),
+        explode(arrays_zip(col("terms"), col("tfs"))).as("tt"), col("salt"))
+      .select(col("docIntId"), col("tt.terms").as("term"),
+        col("tt.tfs").as("tf"), col("salt"))
+      .write.partitionBy("salt").parquet(s"$legacyTmp/docvecs")
+    graft.util.Dirs.deleteRecursively(new java.io.File(s"$dir/docvecs"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$legacyTmp/docvecs"),
+      java.nio.file.Paths.get(s"$dir/docvecs"))
+    val manifest = new java.io.File(s"$dir/_commits").listFiles()
+      .filter(_.getName.endsWith("-docvecs.json")).head.toPath
+    val body = java.nio.file.Files.readString(manifest)
+    val legacyBody = body.replace(",\"format\": \"packed\"", "")
+    assert(legacyBody != body, s"format key not found in manifest: $body")
+    java.nio.file.Files.writeString(manifest, legacyBody)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/_properties.json"))
+    // resume: every group is committed, so only properties are re-stamped
+    IndexBuilder.build(spark, corpusDf, dir, cfg)
+    val idx = new graft.query.BM25Index(spark, dir)
+    assert(idx.docvecsFormat == "rows",
+      s"resumed legacy index stamped ${idx.docvecsFormat}")
+    assert(rm3Rows() == want) // the rows branch feeds RM3 identically
+  }
+
   test("per-row sha256(content) invariant preserved through ingestion") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("graft-sha")

@@ -118,6 +118,7 @@ class DedupSpec extends SparkTestBase {
     }
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.ccLocalMaxEdges", "0") // distributed path
     spark.sparkContext.addSparkListener(listener)
     try {
       val got = Dedup.connectedComponents(edges)
@@ -132,7 +133,36 @@ class DedupSpec extends SparkTestBase {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.graft.ccLocalMaxEdges")
     }
+  }
+
+  test("connectedComponents: bounded local union-find matches the distributed loop") {
+    import spark.implicits._
+    // chain + triangle + isolated pair + cross-links; unsorted input order
+    val edges = Seq((7L, 3L), (3L, 9L), (9L, 1L), (12L, 14L), (14L, 13L),
+      (20L, 21L), (5L, 7L), (2L, 2L)).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(edges) // default: fast path
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.ccLocalMaxEdges", "0")
+    try {
+      val dist = Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"local $local != distributed $dist")
+      assert(local(1L) == 1L && local(5L) == 1L && local(9L) == 1L)
+      assert(local(13L) == 12L && local(21L) == 20L && local(2L) == 2L)
+    } finally spark.conf.unset("spark.graft.ccLocalMaxEdges")
+  }
+
+  test("connectedComponents: over-bound edge sets fall back to the distributed loop") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    spark.conf.set("spark.graft.ccLocalMaxEdges", "2") // 3 edges > bound
+    try {
+      val got = Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
+    } finally spark.conf.unset("spark.graft.ccLocalMaxEdges")
   }
 
   test("connectedComponents: reliable checkpoint dir (cluster durability)") {
@@ -141,6 +171,7 @@ class DedupSpec extends SparkTestBase {
     spark.conf.set("spark.graft.ccCheckpointDir", ckpt)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.ccLocalMaxEdges", "0") // distributed path
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -175,6 +206,7 @@ class DedupSpec extends SparkTestBase {
       spark.conf.unset("spark.graft.ccCheckpointDir")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.graft.ccLocalMaxEdges")
     }
   }
 
@@ -592,6 +624,25 @@ class TrecEvalSpec extends SparkTestBase {
       assert(fps(r.getLong(0)) == scalarWinnow(r.getString(1), 8, 4),
         s"winnowMd5 mismatch for ${r.getLong(0)}")
     }
+  }
+
+  test("md5-family signature stages plan as projections, not aggregations") {
+    // r7 scale gate: the md5 signatures are native per-row kernels — a
+    // regression to the explode + min(string) shape would re-introduce
+    // SortAggregate (string agg buffers are not HashAggregate-mutable) and
+    // shuffle the full shingle/k-gram table per call
+    import spark.implicits._
+    val d = Seq((0L, "some document text tokens here")).toDF("id", "text")
+    val toks = graft.tokenize.Tokenizer.splitTokens(
+      col("text"), graft.tokenize.Tokenizer.AsciiTokenPattern)
+    val sim = Dedup.simhashMd5(d, toks, "id")
+      .queryExecution.executedPlan.toString
+    assert(!sim.contains("Exchange") && !sim.contains("Aggregate"),
+      s"simhashMd5 no longer single-pass:\n$sim")
+    val fp = graft.ops.TextAnalysis.fingerprintsMd5(d, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!fp.contains("Exchange") && !fp.contains("Window") &&
+      !fp.contains("Aggregate"), s"fingerprintsMd5 no longer single-pass:\n$fp")
   }
 
   test("duplicate cutoffs collapse instead of minting duplicate columns") {
