@@ -65,6 +65,11 @@ object IndexBuilder {
       // DuckDB oracle can replicate exactly.
       stem: Boolean = true,
       numSegmentGroups: Int = 4,
+      // postings bucket-partition count. 0 = derive from the vocabulary at
+      // build time (autoBuckets) — a constant cannot serve both a 5k-doc
+      // fixture and a 100-TB vocabulary (r6 VERDICT #4): too few buckets at
+      // scale weaken partition pruning and task granularity, too many at
+      // small scale fragment the table into sub-row-group files.
       numBuckets: Int = 16,
       docmapPartitions: Int = 0, // 0 = spark default parallelism
       failAfterGroup: Int = -1, // test hook: crash after committing group g
@@ -150,6 +155,27 @@ object IndexBuilder {
 
   def bucketOf(term: Column, numBuckets: Int): Column =
     pmod(xxhash64(term), lit(numBuckets.toLong)).cast(IntegerType)
+
+  /** Terms per postings bucket the auto rule targets. With the postings
+    * layout's 1 MB row groups and a 16k-ndv term bloom filter per group,
+    * ~2^16 terms per bucket keeps each bucket a handful of MB-scale,
+    * row-group-prunable files; the candidate scan's read fraction is then
+    * ∝ nQueryTerms × rowGroup regardless of bucket count (measured across
+    * numBuckets ∈ {4..64} at 480k docs — graft.tools.BucketSweep), so the
+    * rule just keeps file/dir counts sane at both ends of the scale.
+    */
+  val TermsPerBucketTarget: Long = 1L << 16
+
+  /** Bucket count for `numBuckets = 0` builds: vocabulary-proportional,
+    * clamped to [8, 4096] (dir count stays manageable; a 10^9-term corpus
+    * saturates the cap with ~256k terms per bucket — still dozens of
+    * prunable row groups per bucket at the 1 MB row-group layout).
+    * Deterministic in the committed termstats row count, so a killed build
+    * resumes with the same value.
+    */
+  def autoBuckets(vocabSize: Long): Int =
+    math.max(8L, math.min(4096L,
+      (vocabSize + TermsPerBucketTarget - 1) / TermsPerBucketTarget)).toInt
 
   /** One PACKED stored doc vector: all of a document's (term, tf) pairs in
     * two parallel arrays (docvecs format "packed"). One row per document
@@ -456,6 +482,13 @@ object IndexBuilder {
     }
     val termstats = spark.read.parquet(s"$indexDir/termstats")
 
+    // effective bucket count: explicit, or vocabulary-derived (the vocab
+    // size is the termstats commit's own row count — no extra job)
+    val numBuckets =
+      if (cfg.numBuckets > 0) cfg.numBuckets
+      else autoBuckets(store.readCommits()
+        .filter(_.group == "termstats").lastOption.map(_.rowCount).getOrElse(0L))
+
     if (!store.committedGroups().contains("postings")) {
       val s = System.nanoTime()
       // df joins onto NARROW segment rows (AQE skew-split handles giant
@@ -473,7 +506,7 @@ object IndexBuilder {
       val sorted = segments
         .withColumn("salt", saltOf(col("docIntId")))
         .join(termstats.select("term", "df").hint("shuffle_hash"), "term")
-        .withColumn("bucket", bucketOf(col("term"), cfg.numBuckets))
+        .withColumn("bucket", bucketOf(col("term"), numBuckets))
         .withColumn("termHash", xxhash64(col("term")))
         .select(col("term"), col("salt"), col("docIntId"), col("tf"),
           col("len"), col("df"), col("bucket"), col("termHash"))
@@ -505,7 +538,7 @@ object IndexBuilder {
         s"$indexDir/postings", partitionCols = Seq("bucket"),
         options = PostingsWriteOptions)
       store.commit(PartitionCommit("postings", Seq("postings"), rows,
-        Map("stage" -> "postings", "buckets" -> cfg.numBuckets.toString),
+        Map("stage" -> "postings", "buckets" -> numBuckets.toString),
         (System.nanoTime() - s) / 1e9))
     }
 
@@ -522,7 +555,7 @@ object IndexBuilder {
                           else "none"),
       "numDocs" -> numDocs.toString, "avgdl" -> avgdl.toString,
       "numTokens" -> numTokens.toString,
-      "numBuckets" -> cfg.numBuckets.toString,
+      "numBuckets" -> numBuckets.toString,
       "numSalts" -> numSalts.toString,
       "saltShift" -> SaltShift.toString,
       "buildElapsedSec" -> ((System.nanoTime() - t0) / 1e9).toString))

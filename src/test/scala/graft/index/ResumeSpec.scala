@@ -146,6 +146,21 @@ class ResumeSpec extends SparkTestBase {
     assert(rm3Rows() == want) // the rows branch feeds RM3 identically
   }
 
+  test("numBuckets=0 derives a vocabulary-proportional bucket count") {
+    assert(IndexBuilder.autoBuckets(0) == 8)
+    assert(IndexBuilder.autoBuckets(100000) == 8) // small vocab -> floor
+    assert(IndexBuilder.autoBuckets(1L << 20) == 16)
+    assert(IndexBuilder.autoBuckets(1L << 30) == 4096) // cap
+    val dir = tmpDir("graft-autobuckets")
+    IndexBuilder.build(spark, corpusDf, dir,
+      IndexBuilder.Config(numSegmentGroups = 1, numBuckets = 0))
+    val idx = new graft.query.BM25Index(spark, dir)
+    assert(idx.numBuckets == 8) // derived value recorded in properties
+    import spark.implicits._
+    val q = Seq(("q1", "merge sort")).toDF("qid", "query")
+    assert(graft.query.QueryEngine.searchWand(idx, q, 5).count() > 0)
+  }
+
   test("per-row sha256(content) invariant preserved through ingestion") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("graft-sha")
