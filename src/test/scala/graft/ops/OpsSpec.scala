@@ -210,6 +210,50 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("minhash LSH detection tracks banding theory on mutated pairs (seed 42)") {
+    // r7 detection-rate law (graft.tools.NearDupRecall is the full sweep):
+    // (base, mutant) pairs with exact shingle Jaccard computed by an
+    // independent scalar path; LSH at n=3/m=32/bands=8/threshold=0.5 must
+    // (a) catch nearly all high-J pairs — banding theory 1-(1-J^4)^8 is
+    // ~0.997 at J=0.85; (b) estimate J within signature-sampling error;
+    // (c) report (almost) nothing for low-J pairs — theory ~1.3% at J=0.2,
+    // and the est>=0.5 filter drops those candidates too.
+    import graft.tools.NearDupRecall
+    import spark.implicits._
+    val nPairs = 150
+    val bases = (0 until nPairs).map(i =>
+      graft.util.SynthCorpus.docOf(i / 100, i % 100).content)
+    def run(rate: Double): (Seq[Double], Map[Int, Double]) = {
+      val rng = new scala.util.Random(42 * 1000 + (rate * 1000).toInt)
+      val mutants = bases.map(t => NearDupRecall.mutate(t, rate, rng))
+      val exact = bases.indices.map(i =>
+        NearDupRecall.exactJaccard(bases(i), mutants(i)))
+      val corpus = (bases.indices.map(i => (f"b$i%05d", bases(i))) ++
+        bases.indices.map(i => (f"m$i%05d", mutants(i)))).toDF("doc_id", "text")
+      val reported = Dedup.minhashLsh(corpus,
+          Tokenizer.splitTokens(col("text"), Tokenizer.AsciiTokenPattern),
+          "doc_id", n = 3, m = 32, bands = 8, threshold = 0.5)
+        .where(substring(col("id_a"), 1, 1) === "b" &&
+          substring(col("id_b"), 1, 1) === "m" &&
+          substring(col("id_a"), 2, 5) === substring(col("id_b"), 2, 5))
+        .select(substring(col("id_a"), 2, 5).cast("int"), col("est_jaccard"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      (exact, reported)
+    }
+    val (exactLo, repLo) = run(0.02) // mean exact J ~0.89
+    val hi = exactLo.zipWithIndex.filter(_._1 >= 0.85)
+    assert(hi.size > 50, s"fixture drifted: only ${hi.size} high-J pairs")
+    val recall = hi.count { case (_, i) => repLo.contains(i) }.toDouble / hi.size
+    assert(recall >= 0.9, f"high-J recall $recall%.3f < 0.9")
+    val errs = repLo.toSeq.map { case (i, est) => math.abs(est - exactLo(i)) }
+    assert(errs.sum / errs.size <= 0.15,
+      f"mean |est-exact| ${errs.sum / errs.size}%.3f > 0.15")
+    val (exactHi, repHi) = run(0.4) // mean exact J ~0.11
+    val lo = exactHi.zipWithIndex.filter(_._1 < 0.35)
+    val falseAlarm = lo.count { case (_, i) => repHi.contains(i) }.toDouble / lo.size
+    assert(falseAlarm <= 0.05, f"low-J false-alarm rate $falseAlarm%.3f > 0.05")
+  }
+
   test("de-skewed plan shapes: no Window exec in exact dedup / ngram jaccard") {
     // scale gate: a Window.partitionBy(grp|sh) would place an entire
     // duplicate group / a ubiquitous shingle's full df on ONE task
